@@ -1,0 +1,22 @@
+"""Prior factory — parity with ``get_prior`` (``/root/reference/utils/__init__.py:71-82``).
+
+The prior protocol (duck-typed in the reference, SURVEY.md §2.11):
+``init(key) -> params``, ``forward(params, grid) -> logits``,
+``sample(params, key, n) -> grid``, ``reconstruct(params, grid) -> grid``,
+``interpolate(params, x, y)``. Grids are ``(B, r, r, index_dim)`` float
+integer-levels; logits are ``(B, r, r, index_dim, num_levels)``.
+"""
+
+from __future__ import annotations
+
+from hopvae_tpu.models.priors.normal import NormalPrior
+
+
+def get_prior(config):
+    if config.prior == "PixelCNN":
+        from hopvae_tpu.models.priors.pixelcnn import PixelCNNPrior
+
+        return PixelCNNPrior(config)
+    elif config.prior == "None":
+        return NormalPrior(config)
+    raise ValueError(f"unknown prior {config.prior!r}")

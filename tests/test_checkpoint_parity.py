@@ -1,0 +1,94 @@
+"""Checkpoint-parity anchor tests (SURVEY.md §4.1, §7 step 3).
+
+Converts the shipped reference checkpoint and asserts per-stage and
+end-to-end numerical agreement between the JAX model and the torch mirror
+on fixed inputs, then pins golden statistics so any future regression in
+conversion or semantics fails loudly.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from hopvae_tpu.config import load_config
+from hopvae_tpu.models.hopvae import HopVAE
+from hopvae_tpu.utils.checkpoint import (
+    convert_torch_state_dict,
+    lenient_merge,
+    load_torch_state_dict,
+)
+
+import torch_mirror
+
+CKPT = "/root/reference/checkpoints/MNIST-28.ckpt"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config("mnist_28")
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    sd_np = load_torch_state_dict(CKPT)
+    params = lenient_merge(params, convert_torch_state_dict(sd_np, cfg))
+    sd_t = {k: torch.from_numpy(v) for k, v in sd_np.items()}
+    rng = np.random.default_rng(42)
+    # MNIST-normalized-range random input (mean 0.1307/0.3081 shift)
+    x = rng.standard_normal((4, 1, 28, 28), dtype=np.float32)
+    return cfg, model, params, sd_t, x
+
+
+def test_full_forward_parity(setup):
+    cfg, model, params, sd_t, x = setup
+    ref = torch_mirror.forward(sd_t, torch.from_numpy(x))
+    x_nhwc = jnp.asarray(x).transpose(0, 2, 3, 1)
+    got_recon, got_aux = model.forward(params, x_nhwc)
+    got_recon = np.asarray(got_recon).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_recon, ref["x_recon"].numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(got_aux), float(ref["emb_recon_loss"]), rtol=1e-3, atol=1e-6)
+
+
+def test_stagewise_parity(setup):
+    cfg, model, params, sd_t, x = setup
+    ref = torch_mirror.forward(sd_t, torch.from_numpy(x))
+    x_nhwc = jnp.asarray(x).transpose(0, 2, 3, 1)
+
+    z = model._encode_to_tokens(params, x_nhwc)
+    np.testing.assert_allclose(np.asarray(z), ref["pre_vq"].numpy(), rtol=1e-3, atol=1e-4)
+
+    from hopvae_tpu.ops.hopfield import hopfield_lookup
+
+    z_emb = hopfield_lookup(params["hopfield"], z)
+    np.testing.assert_allclose(np.asarray(z_emb), ref["z_embeddings"].numpy(), rtol=1e-3, atol=1e-4)
+
+    z_idx = jax.nn.sigmoid(hopfield_lookup(params["embedding_to_index"], z_emb))
+    np.testing.assert_allclose(np.asarray(z_idx), ref["z_indices"].numpy(), rtol=1e-3, atol=1e-5)
+
+    # quantized integer indices must agree exactly (modulo ties at .5,
+    # which have measure zero on real activations)
+    z_quant = np.round(np.asarray(z_idx) * (cfg.num_levels - 1))
+    assert np.mean(z_quant == ref["z_quant"].numpy()) > 0.999
+
+
+def test_round_trip_consistency_golden(setup):
+    """The trained model's index round-trip error must stay tiny — the
+    strongest semantics check available without hflayers: a wrong β or
+    norm placement destroys the trained consistency (SURVEY.md §2.6a)."""
+    cfg, model, params, sd_t, x = setup
+    x_nhwc = jnp.asarray(x).transpose(0, 2, 3, 1)
+    _, aux = model.forward(params, x_nhwc)
+    assert float(aux) < 5e-3, float(aux)
+
+
+def test_interpolate_and_sample_shapes(setup):
+    cfg, model, params, _, x = setup
+    x_nhwc = jnp.asarray(x).transpose(0, 2, 3, 1)
+    out = model.interpolate(params, x_nhwc, x_nhwc[::-1])
+    assert out.shape == x_nhwc.shape
+    # shape-mismatch → returns x unchanged (HopVAE.py:203,243)
+    out2 = model.interpolate(params, x_nhwc, x_nhwc[:2])
+    assert out2 is x_nhwc
+    s = model.sample(params, jax.random.PRNGKey(0), num_samples=3)
+    assert s.shape == (3, 28, 28, 1)
