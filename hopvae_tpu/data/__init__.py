@@ -1,0 +1,240 @@
+"""Data pipeline — torchvision-free equivalents of the reference loaders.
+
+Parity target: ``get_data_loaders`` (``/root/reference/utils/__init__.py:85-129``)
+which builds MNIST / CIFAR10 / FFHQ train/val/test loaders with dataset-
+specific normalization. This environment has no torchvision and no network
+(SURVEY.md §4.5), so:
+
+- MNIST: a self-written IDX (ubyte) reader for user-provided files, with a
+  procedurally *rendered-digit* fallback (PIL bitmap font) so training and
+  tests run hermetically.
+- CIFAR10: python-pickle batch reader (the standard ``cifar-10-batches-py``
+  layout). The reference's CIFAR10 branch crashes on an unimported numpy
+  (``utils/__init__.py:109``) — documented divergence: ours works.
+- FFHQ: image-folder reader via PIL with the reference's 70/10/20 random
+  split, plus a synthetic-gradient-image fallback.
+
+Batches are NHWC float32, normalized exactly as the reference transforms:
+MNIST ``(x-0.1307)/0.3081``; CIFAR10/FFHQ ``x-0.5`` (std 1).
+
+Device feeding is host→device per batch, double-buffered by dispatch-ahead
+(JAX's async dispatch overlaps the copy with the previous step's compute).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+MNIST_MEAN, MNIST_STD = 0.1307, 0.3081
+
+
+# ----------------------------------------------------------------- readers
+
+
+def read_idx(path: str) -> np.ndarray:
+    """Self-written IDX (ubyte) reader — MNIST's native format."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
+
+
+def _find(path: str, names: tuple) -> str | None:
+    for n in names:
+        for cand in (os.path.join(path, n), os.path.join(path, "MNIST", "raw", n)):
+            for ext in ("", ".gz"):
+                if os.path.exists(cand + ext):
+                    return cand + ext
+    return None
+
+
+def load_mnist(path: str) -> tuple | None:
+    """(train_x, train_y, test_x, test_y) uint8, or None if files absent."""
+    tr_x = _find(path, ("train-images-idx3-ubyte", "train-images.idx3-ubyte"))
+    tr_y = _find(path, ("train-labels-idx1-ubyte", "train-labels.idx1-ubyte"))
+    te_x = _find(path, ("t10k-images-idx3-ubyte", "t10k-images.idx3-ubyte"))
+    te_y = _find(path, ("t10k-labels-idx1-ubyte", "t10k-labels.idx1-ubyte"))
+    if not all((tr_x, tr_y, te_x, te_y)):
+        return None
+    return read_idx(tr_x), read_idx(tr_y), read_idx(te_x), read_idx(te_y)
+
+
+def load_cifar10(path: str) -> tuple | None:
+    """Read the standard ``cifar-10-batches-py`` pickles; None if absent."""
+    base = os.path.join(path, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        base = path
+    batches = [os.path.join(base, f"data_batch_{i}") for i in range(1, 6)]
+    test = os.path.join(base, "test_batch")
+    if not (all(os.path.exists(b) for b in batches) and os.path.exists(test)):
+        return None
+
+    def _read(p):
+        with open(p, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return x, np.asarray(d[b"labels"], dtype=np.int64)
+
+    xs, ys = zip(*[_read(b) for b in batches])
+    te_x, te_y = _read(test)
+    return np.concatenate(xs), np.concatenate(ys), te_x, te_y
+
+
+def load_image_folder(path: str, image_size: int) -> np.ndarray | None:
+    """Flat/recursive folder of images → (N, H, W, 3) uint8 (FFHQ-style)."""
+    from PIL import Image
+
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.lower().endswith(exts)
+    )
+    if not files:
+        return None
+    out = np.empty((len(files), image_size, image_size, 3), np.uint8)
+    for i, fp in enumerate(files):
+        img = Image.open(fp).convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+        out[i] = np.asarray(img)
+    return out
+
+
+# ------------------------------------------------------------- synthetic
+
+
+def render_digits(
+    n: int, image_size: int = 28, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hermetic MNIST-like data: PIL-bitmap-font digits with random shifts.
+
+    Used when no real MNIST files are available (no network here); keeps
+    training/eval/tests runnable end-to-end.
+    """
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    rng = np.random.default_rng(seed)
+    xs = np.zeros((n, image_size, image_size), np.uint8)
+    ys = rng.integers(0, 10, n)
+    for i, d in enumerate(ys):
+        img = Image.new("L", (image_size, image_size), 0)
+        dx, dy = rng.integers(4, 13), rng.integers(2, 11)
+        ImageDraw.Draw(img).text((int(dx), int(dy)), str(int(d)), fill=255, font=font)
+        xs[i] = np.asarray(img)
+    return xs, ys.astype(np.int64)
+
+
+def synthetic_images(n: int, image_size: int, seed: int = 0) -> np.ndarray:
+    """Smooth random low-frequency RGB images (FFHQ stand-in)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, 8, 8, 3)).astype(np.float32)
+    import jax.image
+
+    up = np.asarray(
+        jax.image.resize(base, (n, image_size, image_size, 3), "bilinear")
+    )
+    up = (up - up.min()) / (np.ptp(up) + 1e-6)
+    return (up * 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- datasets
+
+
+@dataclass
+class ArrayDataset:
+    """In-memory dataset of normalized NHWC float32 images + int labels."""
+
+    images: np.ndarray
+    labels: np.ndarray
+
+    def __len__(self):
+        return len(self.images)
+
+
+def _normalize(x_uint8: np.ndarray, data_set: str) -> np.ndarray:
+    x = x_uint8.astype(np.float32) / 255.0
+    if data_set == "MNIST":
+        x = (x - MNIST_MEAN) / MNIST_STD
+        if x.ndim == 3:
+            x = x[..., None]
+    else:  # CIFAR10 / FFHQ: Normalize((.5,.5,.5),(1,1,1))
+        x = x - 0.5
+    return x
+
+
+def get_datasets(config, path: str | None):
+    """(train, val, test) ArrayDatasets per the reference's split semantics.
+
+    MNIST: val == test == the 10k test set (reference uses the test set for
+    both, ``utils/__init__.py:94-95``). FFHQ: random 70/10/20 split.
+    Falls back to synthetic data when ``path`` has no usable files.
+    """
+    ds_name = config.data_set
+    if ds_name == "MNIST":
+        raw = load_mnist(path) if path else None
+        if raw is None:
+            tr_x, tr_y = render_digits(4096, config.image_size, config.seed)
+            te_x, te_y = render_digits(512, config.image_size, config.seed + 1)
+        else:
+            tr_x, tr_y, te_x, te_y = raw
+        config.data_variance = 1
+        train = ArrayDataset(_normalize(tr_x, ds_name), tr_y)
+        test = ArrayDataset(_normalize(te_x, ds_name), te_y)
+        return train, test, test
+
+    if ds_name == "CIFAR10":
+        raw = load_cifar10(path) if path else None
+        if raw is None:
+            tr_x = synthetic_images(2048, config.image_size, config.seed)
+            te_x = synthetic_images(256, config.image_size, config.seed + 1)
+            tr_y = np.zeros(len(tr_x), np.int64)
+            te_y = np.zeros(len(te_x), np.int64)
+        else:
+            tr_x, tr_y, te_x, te_y = raw
+        config.data_variance = float(np.var(tr_x / 255.0))
+        train = ArrayDataset(_normalize(tr_x, ds_name), tr_y)
+        test = ArrayDataset(_normalize(te_x, ds_name), te_y)
+        return train, test, test
+
+    if ds_name == "FFHQ":
+        imgs = load_image_folder(path, config.image_size) if path else None
+        if imgs is None:
+            imgs = synthetic_images(2048, config.image_size, config.seed)
+        config.data_variance = 1
+        rng = np.random.default_rng(config.seed)
+        perm = rng.permutation(len(imgs))
+        n_tr, n_va = int(len(imgs) * 0.7), int(len(imgs) * 0.1)
+        splits = (perm[:n_tr], perm[n_tr : n_tr + n_va], perm[n_tr + n_va :])
+        x = _normalize(imgs, ds_name)
+        zeros = np.zeros(len(imgs), np.int64)
+        return tuple(ArrayDataset(x[s], zeros[s]) for s in splits)
+
+    raise ValueError(f"unknown data_set {ds_name!r}")
+
+
+def iterate_batches(
+    ds: ArrayDataset,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int = 0,
+    drop_remainder: bool = False,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Numpy batch iterator (the host side of the input pipeline)."""
+    idx = np.arange(len(ds))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    end = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
+    for i in range(0, end, batch_size):
+        sel = idx[i : i + batch_size]
+        yield ds.images[sel], ds.labels[sel]

@@ -1,0 +1,172 @@
+"""PixelCNN autoregressive prior over the discrete Hopfield latent grid.
+
+The reference consumes a PixelCNN via an **absent** git submodule
+(``joejenb/PixelCNN``, ``.gitmodules:1-3`` — never vendored; SURVEY.md
+§2.11), so this is a from-scratch rebuild of the standard masked-conv
+PixelCNN (van den Oord et al. 2016) against the interface fixed by the
+reference call sites:
+
+- ctor config carries ``num_channels = index_dim`` and
+  ``num_categories = num_levels`` (``utils/__init__.py:80-82``);
+- ``forward(grid) -> logits`` consumed by cross-entropy per position per
+  channel (``HopVAE.py:282-284``): ours returns ``(B, r, r, C, L)``
+  (JAX-native layout; reference layout is ``(B, L, C, r, r)``);
+- ``sample() -> integer grid`` (``HopVAE.py:188``), here
+  ``(n, r, r, C)`` float-typed levels;
+- ``reconstruct(grid) -> grid`` — latent denoising: teacher-forced
+  re-prediction, argmax per position (Normal's is identity).
+
+Causality: raster-scan over pixels with channel ordering *within* a pixel
+(channel c may depend on channels < c at its own pixel) — the standard
+mask-A first layer / mask-B elsewhere scheme, with feature maps split
+into ``index_dim`` groups. Verified by the autoregressive-property test
+(logit (i,j,c) independent of inputs at ≥ (i,j,c); SURVEY.md §4.3).
+
+TPU-first sampling: the whole AR loop is one ``lax.scan`` over the
+``r²·C`` positions running on-device — no host round-trips — batched over
+samples. (A per-layer activation-cache variant per "Fast Generation for
+Convolutional Autoregressive Models" is the planned optimization; the
+scan keeps full-network steps, which at r≤17 are MXU-tiny.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hopvae_tpu.ops.conv import conv2d
+
+relu = jax.nn.relu
+
+
+def _group_mask(kh: int, kw: int, c_in: int, c_out: int, n_groups: int, *, mask_type: str) -> np.ndarray:
+    """Binary mask (kh, kw, c_in, c_out) enforcing raster+channel causality.
+
+    Positions strictly above the center row, or left of center in the
+    center row, are fully visible. At the center position, input group g_i
+    is visible to output group g_o iff g_i < g_o (mask A) or g_i ≤ g_o
+    (mask B). Channel groups are contiguous splits of size c/n_groups.
+    """
+    m = np.zeros((kh, kw, c_in, c_out), np.float32)
+    cy, cx = kh // 2, kw // 2
+    m[:cy] = 1.0
+    m[cy, :cx] = 1.0
+    gi = np.arange(c_in) * n_groups // c_in
+    go = np.arange(c_out) * n_groups // c_out
+    if mask_type == "A":
+        center = (gi[:, None] < go[None, :]).astype(np.float32)
+    else:
+        center = (gi[:, None] <= go[None, :]).astype(np.float32)
+    m[cy, cx] = center
+    return m
+
+
+def _masked_conv_init(key, kh, kw, c_in, c_out, n_groups, mask_type, dtype=jnp.float32):
+    k_w, k_b = jax.random.split(key)
+    fan_in = c_in * kh * kw
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "kernel": jax.random.uniform(k_w, (kh, kw, c_in, c_out), dtype, -bound, bound),
+        "bias": jax.random.uniform(k_b, (c_out,), dtype, -bound, bound),
+        # fixed, non-trainable causality mask (stop_gradient at apply time)
+        "mask": jnp.asarray(_group_mask(kh, kw, c_in, c_out, n_groups, mask_type=mask_type)),
+    }
+
+
+def _masked_conv_apply(p, x):
+    kernel = p["kernel"] * jax.lax.stop_gradient(p["mask"])
+    pad = p["kernel"].shape[0] // 2
+    return conv2d(x, kernel, p["bias"], stride=1, padding=pad)
+
+
+class PixelCNNPrior:
+    """Masked-conv PixelCNN over an ``(B, r, r, index_dim)`` level grid."""
+
+    has_params = True
+
+    def __init__(self, config):
+        self.index_dim = config.index_dim
+        self.representation_dim = config.representation_dim
+        self.num_levels = config.num_levels
+        # hyperparameters of the absent submodule are unrecoverable; these
+        # are standard PixelCNN choices, overridable via config keys
+        self.features = getattr(config, "prior_num_filters", 96)
+        self.n_res = getattr(config, "prior_num_res_blocks", 4)
+        assert self.features % self.index_dim == 0, "features must split into channel groups"
+
+    # ------------------------------------------------------------- params
+
+    def init(self, key) -> dict:
+        c, f, lvl = self.index_dim, self.features, self.num_levels
+        keys = jax.random.split(key, 3 + 2 * self.n_res)
+        params = {
+            "conv_in": _masked_conv_init(keys[0], 7, 7, c, f, c, "A"),
+            "res": [
+                {
+                    "conv_a": _masked_conv_init(keys[1 + 2 * i], 3, 3, f, f, c, "B"),
+                    "conv_b": _masked_conv_init(keys[2 + 2 * i], 1, 1, f, f, c, "B"),
+                }
+                for i in range(self.n_res)
+            ],
+            "conv_out1": _masked_conv_init(keys[-2], 1, 1, f, f, c, "B"),
+            "conv_out2": _masked_conv_init(keys[-1], 1, 1, f, c * lvl, c, "B"),
+        }
+        return params
+
+    # ------------------------------------------------------------ forward
+
+    def forward(self, params, grid: jax.Array) -> jax.Array:
+        """Level grid (B, r, r, C) [0, L-1] floats → logits (B, r, r, C, L)."""
+        b, r = grid.shape[0], self.representation_dim
+        x = grid.astype(jnp.float32) / (self.num_levels - 1) * 2.0 - 1.0
+        h = _masked_conv_apply(params["conv_in"], x)
+        for blk in params["res"]:
+            y = _masked_conv_apply(blk["conv_a"], relu(h))
+            y = _masked_conv_apply(blk["conv_b"], relu(y))
+            h = h + y
+        h = _masked_conv_apply(params["conv_out1"], relu(h))
+        logits = _masked_conv_apply(params["conv_out2"], relu(h))
+        return logits.reshape(b, r, r, self.index_dim, self.num_levels)
+
+    # ------------------------------------------------------------- sample
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _sample_scan(self, params, key, num_samples: int):
+        r, c = self.representation_dim, self.index_dim
+        grid0 = jnp.zeros((num_samples, r, r, c), jnp.float32)
+
+        def body(carry, step):
+            grid, key = carry
+            key, sub = jax.random.split(key)
+            i = step // (r * c)
+            j = (step // c) % r
+            ch = step % c
+            logits = self.forward(params, grid)  # (n, r, r, C, L)
+            logit = jax.lax.dynamic_slice(
+                logits, (0, i, j, ch, 0), (num_samples, 1, 1, 1, self.num_levels)
+            ).reshape(num_samples, self.num_levels)
+            lvl = jax.random.categorical(sub, logit, axis=-1).astype(jnp.float32)
+            grid = jax.lax.dynamic_update_slice(
+                grid, lvl.reshape(num_samples, 1, 1, 1), (0, i, j, ch)
+            )
+            return (grid, key), None
+
+        (grid, _), _ = jax.lax.scan(body, (grid0, key), jnp.arange(r * r * c))
+        return grid
+
+    def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
+        """On-device AR sampling: one ``lax.scan`` over r²·C positions."""
+        return self._sample_scan(params, key, num_samples)
+
+    # -------------------------------------------------------- reconstruct
+
+    def reconstruct(self, params, grid: jax.Array) -> jax.Array:
+        """Teacher-forced denoise: argmax re-prediction per position."""
+        logits = self.forward(params, grid)
+        return jnp.argmax(logits, axis=-1).astype(grid.dtype)
+
+    def interpolate(self, params, x: jax.Array, y: jax.Array) -> jax.Array:
+        return (x + y) / 2

@@ -1,0 +1,82 @@
+"""Device mesh + sharding rules — the TPU-native parallelism layer.
+
+The reference is single-process single-device (``main.py:96-97``; SURVEY.md
+§2 "Parallelism: NONE"), so this subsystem is new, designed per the north
+star: data parallelism over ICI via a ``jax.sharding.Mesh``, with the
+Hopfield pattern memory replicated at 512 patterns or sharded over the
+``model`` axis for the scaled 4096-pattern config. XLA inserts the
+gradient ``psum``s from the shardings — no hand-written collectives in the
+train step.
+
+Axes:
+- ``data``  — batch dimension; gradients all-reduce over ICI.
+- ``model`` — optional; shards each Hopfield ``lookup_weights`` (M, d) and
+  its value projection over the pattern axis M. Attention over patterns is
+  a *reduction* over M, so XLA turns the per-shard partial softmax stats
+  into an ICI all-reduce (flash-style streaming falls out of the Pallas
+  kernel instead when enabled).
+
+Everything degrades transparently to a 1-chip mesh (identity shardings).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    *,
+    devices=None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh. Defaults to all local devices on the
+    data axis — a no-op mesh on a single chip."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over ``data``, everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _is_pattern_leaf(path) -> bool:
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    return "lookup_weights" in keys
+
+
+def param_shardings(mesh: Mesh, params, *, shard_patterns: bool = False):
+    """Sharding pytree for params: replicated, except (optionally) the
+    Hopfield pattern memories sharded over ``model`` on the M axis.
+
+    ``shard_patterns`` is worthwhile only for scaled memories (the
+    ffhq_64_scaled 4096-pattern config); at M=512 replication is faster
+    than the extra collective.
+    """
+    replicated = NamedSharding(mesh, P())
+    pattern = NamedSharding(mesh, P("model", None))
+
+    def _one(path, leaf):
+        if shard_patterns and _is_pattern_leaf(path) and leaf.ndim == 2:
+            return pattern
+        return replicated
+
+    return jax.tree_util.tree_map_with_path(_one, params)
+
+
+def shard_params(mesh: Mesh, params, *, shard_patterns: bool = False):
+    """Place params on the mesh according to :func:`param_shardings`."""
+    return jax.device_put(params, param_shardings(mesh, params, shard_patterns=shard_patterns))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
