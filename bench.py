@@ -138,6 +138,16 @@ def main():
     details["ffhq64_recon_images_per_sec_tpu"] = tpu_ips
     details["ffhq64_recon_batch"] = batch
 
+    # ---- side: FFHQ-64-scaled (4096 patterns), XLA vs fused Pallas ------
+    scfg = load_config("ffhq_64_scaled")
+    for impl in ("xla", "pallas"):
+        smodel = HopVAE(scfg, impl=impl)
+        sparams = smodel.init(jax.random.PRNGKey(0))
+        dt = device_seconds_per_iter(
+            lambda s: smodel.forward(sparams, s)[0], x, iters=10
+        )
+        details[f"ffhq64_scaled_recon_images_per_sec_{impl}"] = batch / dt
+
     # ---- side: FFHQ-64 train step --------------------------------------
     import optax
 

@@ -38,11 +38,14 @@ from hopvae_tpu.ops.hopfield import hopfield_lookup, init_hopfield_params
 from hopvae_tpu.ops.ste import straight_through_round
 
 
-def _lookup(params, x, impl: str):
-    if impl == "pallas":
-        from hopvae_tpu.ops.hopfield_pallas import hopfield_lookup_fused
+from hopvae_tpu.ops.bottleneck import bottleneck_params, hopfield_bottleneck
 
-        return hopfield_lookup_fused(params, x)
+
+def _lookup(params, x, impl: str):
+    # single-layer lookups (sample/interpolate paths) stay on the XLA impl;
+    # the fused Pallas kernel covers the forward bottleneck where the
+    # throughput lives
+    del impl
     return hopfield_lookup(params, x)
 
 
@@ -121,14 +124,9 @@ class HopVAE:
         r = self.representation_dim
         z = self._encode_to_tokens(params, x)
 
-        z_embeddings = _lookup(params["hopfield"], z, self.impl)
-        z_indices = _lookup(params["embedding_to_index"], z_embeddings, self.impl)
-        z_indices = jax.nn.sigmoid(z_indices)
-
-        z_indices_quantised = straight_through_round(z_indices * (self.num_levels - 1))
-        z_indices = z_indices_quantised / (self.num_levels - 1)
-
-        z_embeddings_recon = _lookup(params["index_to_embedding"], z_indices, self.impl)
+        z_embeddings, z_indices_quantised, z_embeddings_recon = hopfield_bottleneck(
+            bottleneck_params(params), z, self.num_levels, impl=self.impl
+        )
         embedding_recon_loss = jnp.mean((z_embeddings_recon - z_embeddings) ** 2)
 
         x_recon = self._tokens_to_image(params, z_embeddings)

@@ -1,0 +1,192 @@
+"""Fused Pallas TPU kernel for the triple-Hopfield bottleneck.
+
+Replaces three separate attention-over-memory ops + elementwise glue
+(``HopVAE.py:255-272``) with ONE kernel pass per token block: every
+intermediate (retrieval, index logits, sigmoid, straight-through round,
+round-trip readout) stays in VMEM — zero HBM round-trips between stages.
+
+Math per layer (derived in ops/hopfield.py): with K = LN(patterns) and
+U = (LN(patterns) @ W_in + b_in) @ W_out *pre-folded on the host side*
+(attention rows sum to 1, so the out-projection and both biases fold into
+the value table and a constant shift):
+
+    out = softmax(β · LN(x) Kᵀ) @ U + b_out,   β = 1/√d_in
+
+Pattern-memory residency: K/U for all three layers total
+``M·(2d + d + 3 + d)`` floats — 0.66 MB at M=512, 5.2 MB at the scaled
+M=4096 — comfortably VMEM-resident next to a 256-token block, so the
+kernel is single-shot over the pattern axis (flash-style streaming over
+M only becomes necessary beyond ~16k patterns).
+
+Differentiation: ``custom_vjp`` — forward runs this kernel, backward
+recomputes through the jnp reference (exact reference gradients, forward
+at kernel speed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hopvae_tpu.ops.hopfield import LN_EPS
+
+TOKEN_BLOCK = 256
+
+
+def _fold_layer(p):
+    """Host-side constant folding of one lookup layer -> (K, U, b, ln_s, ln_b).
+
+    K: normalized stored patterns (keys). U: value table with in- and
+    out-projections folded in. b: output shift. ln_*: state-pattern norm.
+    """
+    patterns = p["lookup_weights"]
+    mean = jnp.mean(patterns, axis=-1, keepdims=True)
+    var = jnp.var(patterns, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    normed = (patterns - mean) * inv
+    hi = jax.lax.Precision.HIGHEST  # folding must not introduce bf16 error
+    k = normed * p["norm_stored"]["scale"] + p["norm_stored"]["bias"]
+    v = normed * p["norm_proj"]["scale"] + p["norm_proj"]["bias"]
+    v = jnp.dot(v, p["in_proj"]["kernel"], precision=hi) + p["in_proj"]["bias"]
+    u = jnp.dot(v, p["out_proj"]["kernel"], precision=hi)
+    return (
+        k,
+        u,
+        p["out_proj"]["bias"],
+        p["norm_state"]["scale"],
+        p["norm_state"]["bias"],
+    )
+
+
+def _ln(x, scale, bias, d: int):
+    """LayerNorm over the (unpadded) last-axis width ``d``."""
+    mean = jnp.sum(x, axis=-1, keepdims=True) / d
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / d
+    return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _attend(q, k, u, b, beta, precision):
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ) * beta
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    a = e / jnp.sum(e, axis=-1, keepdims=True)
+    return jnp.dot(a, u, preferred_element_type=jnp.float32, precision=precision) + b
+
+
+def _kernel(
+    x_ref,
+    k1, u1, b1, s1, t1,
+    k2, u2, b2, s2, t2,
+    k3, u3, b3, s3, t3,
+    e_out, zq_out, r_out,
+    *, num_levels: int, d: int, di: int, precision,
+):
+    x = x_ref[...]
+    q1 = _ln(x, s1[...], t1[...], d)
+    e = _attend(q1, k1[...], u1[...], b1[...], 1.0 / (d**0.5), precision)
+    e_out[...] = e
+
+    q2 = _ln(e, s2[...], t2[...], d)
+    logits = _attend(q2, k2[...], u2[...], b2[...], 1.0 / (d**0.5), precision)
+    idx = jax.nn.sigmoid(logits)
+    zq = jnp.round(idx * (num_levels - 1))
+    zq_out[...] = zq
+
+    zn = zq / (num_levels - 1)
+    q3 = _ln(zn, s3[...], t3[...], di)
+    r_out[...] = _attend(q3, k3[...], u3[...], b3[...], 1.0 / (di**0.5), precision)
+
+
+def _bottleneck_fwd_pallas(params: dict, x: jax.Array, num_levels: int, precision=None):
+    *lead, d = x.shape
+    n = 1
+    for s in lead:
+        n *= s
+    xt = x.reshape(n, d)
+    pad = (-n) % TOKEN_BLOCK
+    if pad:
+        xt = jnp.pad(xt, ((0, pad), (0, 0)))
+    n_pad = xt.shape[0]
+
+    l1 = _fold_layer(params["hopfield"])
+    l2 = _fold_layer(params["embedding_to_index"])
+    l3 = _fold_layer(params["index_to_embedding"])
+    di = params["index_to_embedding"]["lookup_weights"].shape[-1]
+
+    def vec_spec(width):
+        # broadcast constants: one block covering the whole array
+        return pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def mat_spec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    m = l1[0].shape[0]
+    in_specs = [
+        pl.BlockSpec((TOKEN_BLOCK, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    operands = [xt]
+    for (k, u, b, s, t), (dk, du) in zip((l1, l2, l3), ((d, d), (d, di), (di, d))):
+        in_specs += [
+            mat_spec(m, dk), mat_spec(m, du),
+            vec_spec(du), vec_spec(dk), vec_spec(dk),
+        ]
+        operands += [k, u, b[None, :], s[None, :], t[None, :]]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        jax.ShapeDtypeStruct((n_pad, di), x.dtype),
+        jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((TOKEN_BLOCK, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TOKEN_BLOCK, di), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TOKEN_BLOCK, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    e, zq, r = pl.pallas_call(
+        functools.partial(_kernel, num_levels=num_levels, d=d, di=di, precision=precision),
+        grid=(n_pad // TOKEN_BLOCK,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m * (d + d + di + 2 * d),
+            bytes_accessed=4 * (n_pad * d * 3 + 3 * m * d),
+            transcendentals=n_pad * (2 * m + di),
+        ),
+    )(*operands)
+
+    unpad = lambda a: a[:n] if pad else a
+    return (
+        unpad(e).reshape(*lead, d),
+        unpad(zq).reshape(*lead, di),
+        unpad(r).reshape(*lead, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int):
+    return _bottleneck_fwd_pallas(params, x, num_levels)
+
+
+def _fwd(params, x, num_levels):
+    return _bottleneck_fwd_pallas(params, x, num_levels), (params, x)
+
+
+def _bwd(num_levels, res, g):
+    from hopvae_tpu.ops.bottleneck import hopfield_bottleneck_xla
+
+    params, x = res
+    _, vjp = jax.vjp(lambda p, x: hopfield_bottleneck_xla(p, x, num_levels), params, x)
+    return vjp(g)
+
+
+hopfield_bottleneck_pallas.defvjp(_fwd, _bwd)

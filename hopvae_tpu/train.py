@@ -104,6 +104,16 @@ class Trainer:
 
         return step
 
+    @functools.cached_property
+    def sample_fn(self):
+        return jax.jit(
+            lambda p, key, n: self.model.sample(p, key, n), static_argnums=2
+        )
+
+    @functools.cached_property
+    def interpolate_fn(self):
+        return jax.jit(self.model.interpolate)
+
     # ------------------------------------------------------------ epochs
 
     def fit(
@@ -183,11 +193,11 @@ class Trainer:
         inter = None
         if len(first_batches) == 2 and first_batches[0].shape == first_batches[1].shape:
             inter = np.asarray(
-                self.model.interpolate(params, first_batches[1], first_batches[0])
+                self.interpolate_fn(params, first_batches[1], first_batches[0])
             )
 
         samples = np.asarray(
-            self.model.sample(params, jax.random.PRNGKey(cfg.seed + epoch), n_sample_images)
+            self.sample_fn(params, jax.random.PRNGKey(cfg.seed + epoch), n_sample_images)
         )
 
         grids = {"inputs": last[0], "reconstructions": last[1], "samples": samples}

@@ -1,0 +1,75 @@
+"""Fused Pallas bottleneck kernel: numerics gate vs the jnp reference
+(SURVEY.md §7 step 6). Runs in interpreter mode on CPU (exact arithmetic —
+interpret mode has no MXU bf16 passes, so tolerances are tight here; the
+hardware bf16-MXU deviation is gated functionally in bench/verify runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from hopvae_tpu.ops import bottleneck as bn
+from hopvae_tpu.ops.hopfield import init_hopfield_params
+
+
+def _params(m=512):
+    return {
+        "hopfield": init_hopfield_params(jax.random.PRNGKey(1), 64, 64, m),
+        "embedding_to_index": init_hopfield_params(jax.random.PRNGKey(2), 64, 3, m),
+        "index_to_embedding": init_hopfield_params(jax.random.PRNGKey(3), 3, 64, m),
+    }
+
+
+@pytest.mark.parametrize("m,s", [(512, 64), (128, 81)])
+def test_pallas_matches_reference(m, s):
+    params = _params(m)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, s, 64))
+    ref = bn.hopfield_bottleneck_xla(params, x, 512)
+    with pltpu.force_tpu_interpret_mode():
+        got = bn.hopfield_bottleneck(params, x, 512, impl="pallas")
+    for name, a, b in zip(("e", "zq", "r"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_pallas_handles_unaligned_token_count():
+    """Token counts not divisible by the block size must pad+unpad cleanly."""
+    params = _params(128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 37, 64))
+    ref = bn.hopfield_bottleneck_xla(params, x, 512)
+    with pltpu.force_tpu_interpret_mode():
+        got = bn.hopfield_bottleneck(params, x, 512, impl="pallas")
+    for a, b in zip(got, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gradients_match_reference():
+    """custom_vjp backward must equal the jnp reference gradients (it
+    recomputes through them — this guards the wiring, incl. STE)."""
+    params = _params(128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+
+    def loss(impl):
+        def f(p, x):
+            if impl == "pallas":
+                with pltpu.force_tpu_interpret_mode():
+                    e, zq, r = bn.hopfield_bottleneck(p, x, 512, impl="pallas")
+            else:
+                e, zq, r = bn.hopfield_bottleneck_xla(p, x, 512)
+            return jnp.mean((r - e) ** 2) + jnp.mean(e) + 1e-4 * jnp.mean(zq)
+
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss("pallas"), argnums=(0, 1))(params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        g_pal,
+        g_ref,
+    )
