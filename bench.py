@@ -126,7 +126,9 @@ def main():
 
     # ---- headline: FFHQ-64 recon images/sec/chip ------------------------
     # recon maps images -> images, so the timing chain feeds each output
-    # back as the next input (true serial device time; see utils/benchmark)
+    # back as the next input (true serial device time; see utils/benchmark).
+    # Headline is the production path (bf16 conv stacks — golden recon MSE
+    # delta 1.3% vs f32, BASELINE.md); the f32 parity path is also recorded.
     cfg = load_config("ffhq_64")
     batch = 256
     model = HopVAE(cfg)
@@ -134,9 +136,14 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, 64, 64, 3), np.float32))
 
     dt = device_seconds_per_iter(lambda s: model.forward(params, s)[0], x)
+    details["ffhq64_recon_images_per_sec_tpu_f32"] = batch / dt
+
+    bmodel = HopVAE(cfg, compute_dtype=jnp.bfloat16)
+    dt = device_seconds_per_iter(lambda s: bmodel.forward(params, s)[0], x)
     tpu_ips = batch / dt
     details["ffhq64_recon_images_per_sec_tpu"] = tpu_ips
     details["ffhq64_recon_batch"] = batch
+    details["ffhq64_recon_dtype"] = "bf16 conv stacks, f32 bottleneck"
 
     # ---- side: FFHQ-64-scaled (4096 patterns), XLA vs fused Pallas ------
     scfg = load_config("ffhq_64_scaled")
@@ -189,7 +196,7 @@ def main():
     pcfg = load_config("pixelcnn_mnist_28")
     pmodel = HopVAE(pcfg)
     pparams = pmodel.init(jax.random.PRNGKey(0))
-    n_samp = 64
+    n_samp = 256  # throughput saturates ~batch 256 (BASELINE.md)
 
     sample_fn = jax.jit(lambda k: jnp.sum(pmodel.sample(pparams, k, n_samp)))
     float(sample_fn(jax.random.PRNGKey(0)))  # compile (slow cold; cached after)

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# TPU-VM launch wrapper — the TPU-native equivalent of the reference's
+# Azure ML job (/root/reference/AML_Job.yml: single node, mounted dataset,
+# `python main.py --data ...`).
+#
+# Usage:
+#   deploy/tpu_job.sh <tpu-name> <zone> <gcs-or-local-data-path> [config]
+#
+# Creates nothing; assumes an existing TPU VM (v5e). For multi-host slices,
+# run via `gcloud compute tpus tpu-vm ssh --worker=all` — the training step
+# shards over all visible chips through the (data, model) mesh
+# automatically (hopvae_tpu/parallel/mesh.py).
+set -euo pipefail
+
+TPU_NAME="${1:?tpu name}"
+ZONE="${2:?zone}"
+DATA="${3:?data path}"
+CONFIG="${4:-ffhq_64}"
+
+gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all --command "
+  cd ~/hopvae-tpu &&
+  python -m hopvae_tpu.train \
+    --config ${CONFIG} \
+    --data ${DATA} \
+    --out outputs/${CONFIG} \
+    --impl pallas --compute-dtype bfloat16
+"

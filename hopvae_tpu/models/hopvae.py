@@ -58,15 +58,30 @@ class HopVAE:
     decoder, prior) so the torch-checkpoint converter maps 1:1.
     """
 
-    def __init__(self, config, impl: str = "xla"):
+    def __init__(self, config, impl: str = "xla", compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` runs the conv stacks in bf16 on
+        the MXU (f32 master params, casts fused by XLA; the Hopfield
+        bottleneck and losses stay f32 — softmax/LN stability and parity).
+        Default f32 end-to-end for checkpoint parity."""
         self.config = config
         self.impl = impl
+        self.compute_dtype = compute_dtype
         self.num_embeddings = config.num_embeddings
         self.embedding_dim = config.embedding_dim
         self.index_dim = config.index_dim
         self.representation_dim = config.representation_dim
         self.num_levels = config.num_levels
         self.prior = get_prior(config)
+
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(self.compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            tree,
+        )
 
     # ---------------------------------------------------------------- init
 
@@ -96,18 +111,22 @@ class HopVAE:
     # ------------------------------------------------------------- encode
 
     def _encode_to_tokens(self, params, x):
-        """Image (B,H,W,C) → pre-VQ latent tokens (B, r², d)."""
-        z = layers.encoder_apply(params["encoder"], x)
-        z = conv2d(z, params["pre_vq_conv"]["kernel"], params["pre_vq_conv"]["bias"])
+        """Image (B,H,W,C) → pre-VQ latent tokens (B, r², d), f32 out."""
+        enc = self._cast(params["encoder"])
+        pre = self._cast(params["pre_vq_conv"])
+        z = layers.encoder_apply(enc, self._cast(x))
+        z = conv2d(z, pre["kernel"], pre["bias"])
         b = z.shape[0]
+        z = z.astype(jnp.float32)
         return z.reshape(b, self.representation_dim**2, self.embedding_dim)
 
     def _tokens_to_image(self, params, z_embeddings):
-        """Latent tokens (B, r², d) → decoded image (B,H,W,C)."""
+        """Latent tokens (B, r², d) → decoded image (B,H,W,C), f32 out."""
         b = z_embeddings.shape[0]
         r = self.representation_dim
-        grid = z_embeddings.reshape(b, r, r, self.embedding_dim)
-        return layers.decoder_apply(params["decoder"], grid)
+        grid = self._cast(z_embeddings).reshape(b, r, r, self.embedding_dim)
+        out = layers.decoder_apply(self._cast(params["decoder"]), grid)
+        return out.astype(jnp.float32)
 
     # ------------------------------------------------------------ forward
 

@@ -127,19 +127,32 @@ class Trainer:
         eval_every: int = 5,
         save_every: int = 5,
         start_epoch: int = 0,
+        resume: bool = False,
     ):
+        """Run the training loop; returns ``(params, opt_state)``.
+
+        NOTE: the incoming ``params`` buffers are donated into the jitted
+        train step — treat them as consumed and use the returned pytree
+        (functional-update contract; snapshot with ``jax.device_get`` first
+        if the originals are still needed).
+        """
         cfg = self.config
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
-        logger = MetricLogger(out_dir)
+        logger = MetricLogger(out_dir, wandb_config=cfg.to_dict())
 
         self._tx = {
             False: make_optimizer(cfg, steps_per_epoch, prior_only=False, params=params),
             True: make_optimizer(cfg, steps_per_epoch, prior_only=True, params=params),
         }
+
+        if resume:
+            params, start_epoch = self._try_resume(params, out_dir, start_epoch)
         params = mesh_lib.shard_params(self.mesh, params, shard_patterns=self.shard_patterns)
-        fit_prior = False
-        opt_state = self._tx[False].init(params)
+        fit_prior = start_epoch > cfg.prior_start
+        opt_state = self._tx[fit_prior].init(params)
+        if resume and start_epoch > 0:
+            opt_state = self._try_resume_opt(opt_state, out_dir)
 
         for epoch in range(start_epoch, epochs):
             if epoch > cfg.prior_start and not fit_prior:
@@ -170,7 +183,7 @@ class Trainer:
 
             if not epoch % eval_every:
                 self.evaluate(params, test_ds, out_dir=out_dir, epoch=epoch, logger=logger)
-            if not epoch % save_every:
+            if not epoch % save_every or epoch == epochs - 1:
                 self.save(params, opt_state, epoch, out_dir)
 
         return params, opt_state
@@ -218,13 +231,46 @@ class Trainer:
 
     # ------------------------------------------------------------- ckpts
 
+    def _tag(self):
+        return f"{self.config.data_set}-{self.config.image_size}"
+
     def save(self, params, opt_state, epoch, out_dir):
-        tag = f"{self.config.data_set}-{self.config.image_size}"
+        import json
+
+        tag = self._tag()
         ckpt_lib.save_params(os.path.join(out_dir, f"{tag}.ckpt.msgpack"), params)
         ckpt_lib.save_params(
-            os.path.join(out_dir, f"{tag}.optstate.msgpack"),
-            {"opt_state": jax.device_get(opt_state), "epoch": np.asarray(epoch)},
+            os.path.join(out_dir, f"{tag}.optstate.msgpack"), jax.device_get(opt_state)
         )
+        with open(os.path.join(out_dir, f"{tag}.meta.json"), "w") as f:
+            json.dump({"epoch": int(epoch)}, f)
+
+    def _try_resume(self, params, out_dir, start_epoch):
+        """Restore params + next epoch from a previous run's checkpoints
+        (divergence from the reference, which restarts its LR schedule on
+        resume — SURVEY.md §5.4)."""
+        import json
+
+        ppath = os.path.join(out_dir, f"{self._tag()}.ckpt.msgpack")
+        mpath = os.path.join(out_dir, f"{self._tag()}.meta.json")
+        if not os.path.exists(ppath):
+            return params, start_epoch
+        params = ckpt_lib.load_params(ppath, jax.device_get(params))
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                start_epoch = json.load(f)["epoch"] + 1
+        return params, start_epoch
+
+    def _try_resume_opt(self, opt_state, out_dir):
+        opath = os.path.join(out_dir, f"{self._tag()}.optstate.msgpack")
+        if not os.path.exists(opath):
+            return opt_state
+        try:
+            return ckpt_lib.load_params(opath, jax.device_get(opt_state))
+        except Exception:
+            # phase mismatch between save and resume (opt-state structure
+            # changed at the prior switch) — fall back to a fresh optimiser
+            return opt_state
 
 
 def main(argv=None):
@@ -236,11 +282,25 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="torch .ckpt or native .msgpack to load (lenient)")
     parser.add_argument("--impl", type=str, default="xla", choices=("xla", "pallas"))
+    parser.add_argument("--compute-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="conv-stack compute dtype (bfloat16 = production fast path)")
     parser.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         help="override a config key (repeatable), e.g. --set prior_start=0",
     )
+    parser.add_argument("--resume", action="store_true",
+                        help="resume params/optimizer/epoch from --out dir")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="run one evaluation pass and exit")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the run to <out>/trace")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (dev aid, SURVEY.md §5.2)")
     args = parser.parse_args(argv)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     config = load_config(args.config)
     for kv in args.set:
@@ -253,7 +313,8 @@ def main(argv=None):
             config.__dict__[key] = ast.literal_eval(val)
         except (ValueError, SyntaxError):
             config.__dict__[key] = val
-    model = HopVAE(config, impl=args.impl)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+    model = HopVAE(config, impl=args.impl, compute_dtype=dtype)
     params = model.init(jax.random.PRNGKey(config.seed))
 
     ckpt = args.checkpoint or f"checkpoints/{config.data_set}-{config.image_size}.ckpt"
@@ -264,7 +325,22 @@ def main(argv=None):
 
     train_ds, _val_ds, test_ds = get_datasets(config, args.data)
     trainer = Trainer(model, config)
-    trainer.fit(params, train_ds, test_ds, epochs=args.epochs, out_dir=args.out)
+
+    if args.eval_only:
+        err = trainer.evaluate(params, test_ds, out_dir=args.out, epoch=0)
+        print(f"Test Reconstruction Error: {err:.6f}")
+        return
+
+    if args.profile:
+        jax.profiler.start_trace(os.path.join(args.out, "trace"))
+    try:
+        trainer.fit(
+            params, train_ds, test_ds,
+            epochs=args.epochs, out_dir=args.out, resume=args.resume,
+        )
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

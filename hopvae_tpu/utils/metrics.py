@@ -16,11 +16,25 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, out_dir: str):
+    """JSONL logger with an optional wandb sink (the reference's only
+    observability, ``main.py:18,41-43`` — used here when wandb is importable
+    AND ``WANDB_PROJECT`` is set; this machine has no network)."""
+
+    def __init__(self, out_dir: str, wandb_config: dict | None = None):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self._path = os.path.join(out_dir, "metrics.jsonl")
         self._step = 0
+        self._wandb = None
+        if os.environ.get("WANDB_PROJECT"):
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=os.environ["WANDB_PROJECT"], config=wandb_config or {}
+                )
+            except Exception:
+                self._wandb = None
 
     def log(self, metrics: dict, step: int | None = None) -> None:
         if step is None:
@@ -33,6 +47,8 @@ class MetricLogger:
         )
         with open(self._path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items() if k != "time"})
 
 
 def denormalize(x: np.ndarray, data_set: str) -> np.ndarray:
