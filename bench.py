@@ -196,7 +196,7 @@ def main():
     pcfg = load_config("pixelcnn_mnist_28")
     pmodel = HopVAE(pcfg)
     pparams = pmodel.init(jax.random.PRNGKey(0))
-    n_samp = 256  # throughput saturates ~batch 256 (BASELINE.md)
+    n_samp = 1024  # throughput metric: big-batch serving scenario (BASELINE.md)
 
     sample_fn = jax.jit(lambda k: jnp.sum(pmodel.sample(pparams, k, n_samp)))
     float(sample_fn(jax.random.PRNGKey(0)))  # compile (slow cold; cached after)

@@ -132,33 +132,96 @@ class PixelCNNPrior:
         return logits.reshape(b, r, r, self.index_dim, self.num_levels)
 
     # ------------------------------------------------------------- sample
+    #
+    # Fast exact sampler: masked-conv causality means a change to pixel
+    # (i,j)'s own channels reaches the (i,j) logits ONLY through the
+    # convolutions' center taps. So per pixel we run ONE full forward to
+    # collect each layer's pre-activation at (i,j) minus its center-tap
+    # contribution ("partials" — they depend only on strictly-previous
+    # pixels and stay constant across the pixel's channel substeps), then
+    # the C sequential channel draws re-run just the center-tap chain —
+    # a stack of (f×f) vector-matmuls. r²·C full forwards → r²: ~3× fewer
+    # sequential steps, exact to float-summation order.
+
+    def _center_mats(self, params):
+        """Center-tap matrices (in, out) of every conv, masks applied."""
+        def cen(p):
+            k = p["kernel"] * p["mask"]
+            return k[k.shape[0] // 2, k.shape[1] // 2]
+
+        return {
+            "in": cen(params["conv_in"]),
+            "res": [(cen(b["conv_a"]), cen(b["conv_b"])) for b in params["res"]],
+            "o1": cen(params["conv_out1"]),
+            "o2": cen(params["conv_out2"]),
+        }
+
+    def _forward_partials(self, params, grid, i, j):
+        """Full forward; returns per-layer pre-activations at (i,j) with the
+        center-tap contribution removed (1×1 convs are all-center — their
+        'partial' is just the bias, handled in the chain)."""
+        n = grid.shape[0]
+        cm = self._center_mats(params)
+        x = grid.astype(jnp.float32) / (self.num_levels - 1) * 2.0 - 1.0
+
+        def at_ij(a):
+            return jax.lax.dynamic_slice(
+                a, (0, i, j, 0), (n, 1, 1, a.shape[-1])
+            ).reshape(n, a.shape[-1])
+
+        partials = []
+        z = _masked_conv_apply(params["conv_in"], x)
+        partials.append(at_ij(z) - at_ij(x) @ cm["in"])
+        h = z
+        for blk, (ca, _cb) in zip(params["res"], cm["res"]):
+            za = _masked_conv_apply(blk["conv_a"], relu(h))
+            partials.append(at_ij(za) - relu(at_ij(h)) @ ca)
+            y = _masked_conv_apply(blk["conv_b"], relu(za))
+            h = h + y
+        return partials
+
+    def _center_chain(self, params, cm, partials, x_ij):
+        """Recompute the (i,j) logits from partials + current pixel vector."""
+        h = partials[0] + x_ij @ cm["in"]
+        for blk, (ca, cb), pa in zip(params["res"], cm["res"], partials[1:]):
+            a = pa + relu(h) @ ca
+            y = relu(a) @ cb + blk["conv_b"]["bias"]
+            h = h + y
+        o = relu(h) @ cm["o1"] + params["conv_out1"]["bias"]
+        logits = relu(o) @ cm["o2"] + params["conv_out2"]["bias"]
+        return logits.reshape(x_ij.shape[0], self.index_dim, self.num_levels)
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _sample_scan(self, params, key, num_samples: int):
         r, c = self.representation_dim, self.index_dim
+        lvl_scale = self.num_levels - 1
+        cm = self._center_mats(params)
         grid0 = jnp.zeros((num_samples, r, r, c), jnp.float32)
 
         def body(carry, step):
             grid, key = carry
-            key, sub = jax.random.split(key)
-            i = step // (r * c)
-            j = (step // c) % r
-            ch = step % c
-            logits = self.forward(params, grid)  # (n, r, r, C, L)
-            logit = jax.lax.dynamic_slice(
-                logits, (0, i, j, ch, 0), (num_samples, 1, 1, 1, self.num_levels)
-            ).reshape(num_samples, self.num_levels)
-            lvl = jax.random.categorical(sub, logit, axis=-1).astype(jnp.float32)
-            grid = jax.lax.dynamic_update_slice(
-                grid, lvl.reshape(num_samples, 1, 1, 1), (0, i, j, ch)
-            )
+            i = step // r
+            j = step % r
+            partials = self._forward_partials(params, grid, i, j)
+            x_ij = jax.lax.dynamic_slice(
+                grid, (0, i, j, 0), (num_samples, 1, 1, c)
+            ).reshape(num_samples, c) / lvl_scale * 2.0 - 1.0
+            for ch in range(c):  # unrolled: C sequential channel draws
+                key, sub = jax.random.split(key)
+                logits = self._center_chain(params, cm, partials, x_ij)[:, ch]
+                lvl = jax.random.categorical(sub, logits, axis=-1).astype(jnp.float32)
+                x_ij = x_ij.at[:, ch].set(lvl / lvl_scale * 2.0 - 1.0)
+                grid = jax.lax.dynamic_update_slice(
+                    grid, lvl.reshape(num_samples, 1, 1, 1), (0, i, j, ch)
+                )
             return (grid, key), None
 
-        (grid, _), _ = jax.lax.scan(body, (grid0, key), jnp.arange(r * r * c))
+        (grid, _), _ = jax.lax.scan(body, (grid0, key), jnp.arange(r * r))
         return grid
 
     def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
-        """On-device AR sampling: one ``lax.scan`` over r²·C positions."""
+        """On-device AR sampling: one ``lax.scan`` over the r² pixels with
+        center-tap channel substeps (see block comment above)."""
         return self._sample_scan(params, key, num_samples)
 
     # -------------------------------------------------------- reconstruct
