@@ -12,6 +12,7 @@ import importlib
 _REGISTRY = (
     "mnist_28",
     "pixelcnn_mnist_28",
+    "cifar10_32",
     "ffhq_32",
     "ffhq_64",
     "ffhq_64_scaled",

@@ -172,8 +172,123 @@ def _bottleneck_fwd_pallas(params: dict, x: jax.Array, num_levels: int, precisio
     )
 
 
+# ------------------------------------------------------------------------
+# Flash-style pattern-axis streaming (SURVEY.md §5.7): for memories too
+# large for single-shot VMEM residency, one lookup streams over M-blocks
+# of the (folded) pattern tables with an online-softmax accumulator — the
+# "long-context" axis of this workload is the pattern memory, not the
+# token sequence.
+
+PATTERN_BLOCK = 2048
+STREAM_THRESHOLD = 8192  # below this, the single-shot fused kernel wins
+
+
+def _stream_kernel(x_ref, k_ref, u_ref, b_ref, s_ref, t_ref, o_ref, acc, mx, dn, *, d, beta, precision, m_actual):
+    j = pl.program_id(1)
+    nm = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        mx[...] = jnp.full_like(mx, -1e30)
+        dn[...] = jnp.zeros_like(dn)
+        acc[...] = jnp.zeros_like(acc)
+
+    q = _ln(x_ref[...], s_ref[...], t_ref[...], d)
+    s = jax.lax.dot_general(
+        q, k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * beta
+    # mask out zero-padded pattern rows in the final block
+    blk = k_ref.shape[0]
+    pat_idx = j * blk + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    s = jnp.where(pat_idx < m_actual, s, -1e30)
+    m_new = jnp.maximum(mx[...], jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    scale = jnp.exp(mx[...] - m_new)
+    dn[...] = dn[...] * scale + jnp.sum(p, axis=-1, keepdims=True)
+    acc[...] = acc[...] * scale + jnp.dot(
+        p, u_ref[...], preferred_element_type=jnp.float32, precision=precision
+    )
+    mx[...] = m_new
+
+    @pl.when(j == nm - 1)
+    def _():
+        o_ref[...] = acc[...] / dn[...] + b_ref[...]
+
+
+def _lookup_streaming(folded, x: jax.Array, *, precision=None) -> jax.Array:
+    """One Hopfield lookup with the pattern axis streamed in blocks.
+
+    ``folded`` = (K, U, b, ln_scale, ln_bias) from :func:`_fold_layer`;
+    ``x`` is (..., d_in); returns (..., d_out).
+    """
+    k, u, b, s, t = folded
+    m, d = k.shape
+    d_out = u.shape[1]
+    *lead, _ = x.shape
+    n = 1
+    for sz in lead:
+        n *= sz
+    xt = x.reshape(n, d)
+    pad = (-n) % TOKEN_BLOCK
+    if pad:
+        xt = jnp.pad(xt, ((0, pad), (0, 0)))
+    n_pad = xt.shape[0]
+    m_pad = (-m) % PATTERN_BLOCK
+    if m_pad:
+        # zero-padded rows are masked to -inf inside the kernel (m_actual)
+        k = jnp.pad(k, ((0, m_pad), (0, 0)))
+        u = jnp.pad(u, ((0, m_pad), (0, 0)))
+    n_m = (m + m_pad) // PATTERN_BLOCK
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stream_kernel, d=d, beta=1.0 / (d**0.5), precision=precision, m_actual=m
+        ),
+        grid=(n_pad // TOKEN_BLOCK, n_m),
+        in_specs=[
+            pl.BlockSpec((TOKEN_BLOCK, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PATTERN_BLOCK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PATTERN_BLOCK, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TOKEN_BLOCK, d_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TOKEN_BLOCK, d_out), jnp.float32),
+            pltpu.VMEM((TOKEN_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((TOKEN_BLOCK, 1), jnp.float32),
+        ],
+    )(xt, k, u, b[None, :], s[None, :], t[None, :])
+
+    if pad:
+        out = out[:n]
+    return out.reshape(*lead, d_out)
+
+
+def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int):
+    """Fused-per-stage bottleneck with pattern-axis streaming — used when
+    the memory exceeds VMEM residency (M > STREAM_THRESHOLD)."""
+    l1 = _fold_layer(params["hopfield"])
+    l2 = _fold_layer(params["embedding_to_index"])
+    l3 = _fold_layer(params["index_to_embedding"])
+    e = _lookup_streaming(l1, x)
+    idx = jax.nn.sigmoid(_lookup_streaming(l2, e))
+    zq = jnp.round(idx * (num_levels - 1))
+    zn = zq / (num_levels - 1)
+    # layer 3's pattern dim is index_dim (tiny) but its memory is still M
+    r = _lookup_streaming(l3, zn)
+    return e, zq, r
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int):
+    if params["hopfield"]["lookup_weights"].shape[0] > STREAM_THRESHOLD:
+        return _bottleneck_fwd_streaming(params, x, num_levels)
     return _bottleneck_fwd_pallas(params, x, num_levels)
 
 

@@ -47,6 +47,23 @@ def test_pallas_handles_unaligned_token_count():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_streaming_bottleneck_matches_reference():
+    """Pattern-axis streaming path (SURVEY.md §5.7): online-softmax over
+    M-blocks must equal the single-shot reference, including the padded
+    final block (M=3000 is not a block multiple)."""
+    import hopvae_tpu.ops.hopfield_pallas as hp
+
+    params = _params(3000)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 50, 64))
+    ref = bn.hopfield_bottleneck_xla(params, x, 512)
+    with pltpu.force_tpu_interpret_mode():
+        got = hp._bottleneck_fwd_streaming(params, x, 512)
+    for name, a, b in zip(("e", "zq", "r"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_pallas_gradients_match_reference():
     """custom_vjp backward must equal the jnp reference gradients (it
     recomputes through them — this guards the wiring, incl. STE)."""

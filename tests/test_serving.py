@@ -1,0 +1,71 @@
+"""Serving engine: AOT compile, ragged-batch padding, CLI batch processor."""
+
+import numpy as np
+
+import jax
+
+from hopvae_tpu.config import load_config
+from hopvae_tpu.models.hopvae import HopVAE
+from hopvae_tpu.serving import InferenceEngine
+
+
+def _engine(max_batch=8):
+    cfg = load_config("mnist_28")
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # CPU test: xla impl, f32 (pallas/bf16 is the TPU production default)
+    return cfg, InferenceEngine(
+        cfg, params, max_batch=max_batch, impl="xla", compute_dtype=None, n_sample=4
+    )
+
+
+def test_reconstruct_pads_and_unpads():
+    cfg, eng = _engine()
+    x = np.random.default_rng(0).standard_normal((3, 28, 28, 1)).astype(np.float32)
+    y = eng.reconstruct(x)
+    assert y.shape == (3, 28, 28, 1)
+    # same inputs in a different batch size give identical outputs
+    y2 = eng.reconstruct(x[:2])
+    np.testing.assert_allclose(y[:2], y2, rtol=1e-5, atol=1e-6)
+
+
+def test_reconstruct_rejects_oversize_batch():
+    import pytest
+
+    cfg, eng = _engine(max_batch=4)
+    x = np.zeros((5, 28, 28, 1), np.float32)
+    with pytest.raises(ValueError, match="max_batch"):
+        eng.reconstruct(x)
+
+
+def test_sample_and_encode_shapes():
+    cfg, eng = _engine()
+    s = eng.sample(seed=1)
+    assert s.shape == (4, 28, 28, 1)
+    x = np.zeros((2, 28, 28, 1), np.float32)
+    z = eng.encode(x)
+    assert z.shape == (2, cfg.representation_dim**2, cfg.embedding_dim)
+
+
+def test_cli_reconstruct(tmp_path):
+    from PIL import Image
+
+    from hopvae_tpu import serving
+    from hopvae_tpu.utils.checkpoint import save_params
+
+    cfg = load_config("mnist_28")
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "m.msgpack"
+    save_params(str(ckpt), params)
+
+    img = tmp_path / "digit.png"
+    Image.fromarray((np.random.default_rng(0).random((28, 28)) * 255).astype(np.uint8)).save(img)
+
+    serving.main([
+        "--config", "mnist_28", "--checkpoint", str(ckpt),
+        "--out", str(tmp_path / "served"),
+        "--impl", "xla", "--compute-dtype", "float32",  # CPU-test path
+        str(img), str(img),
+    ])
+    assert (tmp_path / "served" / "reconstructions.png").exists()
