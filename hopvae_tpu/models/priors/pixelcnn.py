@@ -156,12 +156,13 @@ class PixelCNNPrior:
             "o2": cen(params["conv_out2"]),
         }
 
-    def _forward_partials(self, params, grid, i, j):
+    def _forward_partials(self, params, grid, i, j, cm=None):
         """Full forward; returns per-layer pre-activations at (i,j) with the
         center-tap contribution removed (1×1 convs are all-center — their
         'partial' is just the bias, handled in the chain)."""
         n = grid.shape[0]
-        cm = self._center_mats(params)
+        if cm is None:
+            cm = self._center_mats(params)
         x = grid.astype(jnp.float32) / (self.num_levels - 1) * 2.0 - 1.0
 
         def at_ij(a):
@@ -202,7 +203,7 @@ class PixelCNNPrior:
             grid, key = carry
             i = step // r
             j = step % r
-            partials = self._forward_partials(params, grid, i, j)
+            partials = self._forward_partials(params, grid, i, j, cm)
             x_ij = jax.lax.dynamic_slice(
                 grid, (0, i, j, 0), (num_samples, 1, 1, c)
             ).reshape(num_samples, c) / lvl_scale * 2.0 - 1.0

@@ -285,15 +285,22 @@ def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int):
     return e, zq, r
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int):
+def _dispatch_fwd(params: dict, x: jax.Array, num_levels: int):
     if params["hopfield"]["lookup_weights"].shape[0] > STREAM_THRESHOLD:
         return _bottleneck_fwd_streaming(params, x, num_levels)
     return _bottleneck_fwd_pallas(params, x, num_levels)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int):
+    return _dispatch_fwd(params, x, num_levels)
+
+
 def _fwd(params, x, num_levels):
-    return _bottleneck_fwd_pallas(params, x, num_levels), (params, x)
+    # must route through the same single-shot/streaming dispatch as the
+    # primal — a VJP-wrapped call at M > STREAM_THRESHOLD would otherwise
+    # blow VMEM in the single-shot kernel while undifferentiated eval works
+    return _dispatch_fwd(params, x, num_levels), (params, x)
 
 
 def _bwd(num_levels, res, g):

@@ -158,7 +158,13 @@ def main(argv=None):
         if not args.inputs:
             parser.error("reconstruct mode needs input files")
         x = _load_images(args.inputs, config)
-        y = engine.reconstruct(x)
+        # chunk through the engine's fixed batch size (arbitrary input counts)
+        y = np.concatenate(
+            [
+                engine.reconstruct(x[i : i + engine.max_batch])
+                for i in range(0, len(x), engine.max_batch)
+            ]
+        )
         save_image_grid(
             os.path.join(args.out, "reconstructions.png"),
             denormalize(y, config.data_set),

@@ -149,26 +149,35 @@ class Trainer:
         if resume:
             params, start_epoch = self._try_resume(params, out_dir, start_epoch)
         params = mesh_lib.shard_params(self.mesh, params, shard_patterns=self.shard_patterns)
-        fit_prior = start_epoch > cfg.prior_start
+        has_prior = bool(jax.tree_util.tree_leaves(params["prior"]))
+        fit_prior = start_epoch > cfg.prior_start and has_prior
         opt_state = self._tx[fit_prior].init(params)
         if resume and start_epoch > 0:
             opt_state = self._try_resume_opt(opt_state, out_dir)
 
         for epoch in range(start_epoch, epochs):
-            if epoch > cfg.prior_start and not fit_prior:
-                fit_prior = True  # phase switch: fresh optimiser over prior only
+            if epoch > cfg.prior_start and not fit_prior and has_prior:
+                # phase switch: fresh optimiser over prior only. Skipped for
+                # parameterless priors (prior="None" + low prior_start, e.g.
+                # the reference ffhq_32 config): the reference crashes there
+                # (torch Adam over an empty param list); silently freezing
+                # everything and burning epochs would be worse.
+                fit_prior = True
                 opt_state = self._tx[True].init(params)
 
             step = self.train_step(fit_prior)
-            epoch_sum = 0.0
+            # accumulate on device; fetch ONCE per epoch (a per-step float()
+            # would sync through the ~29ms-roundtrip tunnel every step)
+            epoch_sum = jnp.zeros(())
             n_batches = 0
             for bx, _ in iterate_batches(
                 train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_remainder=True
             ):
                 bx = mesh_lib.shard_batch(self.mesh, bx)
                 params, opt_state, m = step(params, opt_state, bx)
-                epoch_sum += float(m["recon_error"]) + float(m["aux"])
+                epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
                 n_batches += 1
+            epoch_sum = float(epoch_sum)
 
             logger.log(
                 {
@@ -301,6 +310,12 @@ def main(argv=None):
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    if args.checkpoint and not os.path.exists(args.checkpoint):
+        # fail before touching the device: an explicitly requested checkpoint
+        # must exist; only the default location gets the reference's lenient
+        # fall-through (main.py:100-104)
+        parser.error(f"checkpoint not found: {args.checkpoint}")
 
     config = load_config(args.config)
     for kv in args.set:

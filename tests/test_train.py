@@ -76,6 +76,27 @@ def test_prior_phase_switch(tmp_path):
     assert not np.array_equal(prior_b, prior_a)  # prior actually trains
 
 
+def test_no_phase_switch_for_parameterless_prior(tmp_path):
+    """prior="None" + low prior_start (the reference ffhq_32 shape, where
+    the reference crashes on an empty Adam param list): the switch is
+    skipped and the model keeps training."""
+    cfg = _tiny_cfg()
+    cfg.prior_start = 0
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    train_ds, _, test_ds = get_datasets(cfg, None)
+    train_ds.images, train_ds.labels = train_ds.images[:32], train_ds.labels[:32]
+    test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+
+    tr = Trainer(model, cfg)
+    before = jax.device_get(params["encoder"]["conv_1"]["kernel"])
+    p2, _ = tr.fit(params, train_ds, test_ds, epochs=3, out_dir=str(tmp_path))
+    after = jax.device_get(p2["encoder"]["conv_1"]["kernel"])
+    assert not np.array_equal(before, after), "model must keep training"
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert not any(l.get("fit_prior") for l in lines)
+
+
 def test_sharded_matches_single_device():
     """The same train step on a 1-device and an 8-device mesh must agree —
     the real pjit path on fake CPU devices."""
