@@ -160,24 +160,26 @@ def main():
         )
         details[f"ffhq64_scaled_recon_images_per_sec_{name}"] = batch / dt
 
-    # ---- side: FFHQ-64 train step --------------------------------------
+    # ---- side: FFHQ-64 train step (f32 parity + bf16 production) --------
     import optax
 
     tx = optax.adam(1e-3)
+    for tmodel, name in ((model, "f32"), (bmodel, "bf16")):
 
-    def train_step(state):
-        p, o = state
+        def train_step(state, tmodel=tmodel):
+            p, o = state
 
-        def loss_fn(p):
-            xr, aux = model.forward(p, x)
-            return jnp.mean((xr - x) ** 2) + aux
+            def loss_fn(p):
+                xr, aux = tmodel.forward(p, x)
+                return jnp.mean((xr - x) ** 2) + aux
 
-        _, g = jax.value_and_grad(loss_fn)(p)
-        u, o = tx.update(g, o, p)
-        return optax.apply_updates(p, u), o
+            _, g = jax.value_and_grad(loss_fn)(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o
 
-    dt = device_seconds_per_iter(train_step, (params, tx.init(params)), iters=10)
-    details["ffhq64_train_images_per_sec_tpu"] = batch / dt
+        dt = device_seconds_per_iter(train_step, (params, tx.init(params)), iters=10)
+        details[f"ffhq64_train_images_per_sec_tpu_{name}"] = batch / dt
+    details["ffhq64_train_images_per_sec_tpu"] = details["ffhq64_train_images_per_sec_tpu_bf16"]
 
     # ---- side: MNIST-28 golden recon MSE + throughput -------------------
     mcfg = load_config("mnist_28")

@@ -97,6 +97,31 @@ def test_no_phase_switch_for_parameterless_prior(tmp_path):
     assert not any(l.get("fit_prior") for l in lines)
 
 
+def test_pattern_sharding_matches_replicated():
+    """Model-axis sharding of the Hopfield pattern memories must not change
+    the forward numerics (XLA reduces the attention over the sharded M
+    axis with collectives)."""
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg(batch=8)
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 28, 28, 1), dtype=np.float32)
+    )
+
+    outs = []
+    for shard_patterns, n_model in ((False, 1), (True, 2)):
+        mesh = mesh_lib.make_mesh(
+            n_data=4 if n_model == 2 else 8, n_model=n_model, devices=jax.devices()[:8]
+        )
+        p = mesh_lib.shard_params(mesh, jax.device_get(params), shard_patterns=shard_patterns)
+        bx = mesh_lib.shard_batch(mesh, x)
+        xr, aux = jax.jit(lambda p, x: model.forward(p, x))(p, bx)
+        outs.append((np.asarray(xr), float(aux)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-5, atol=1e-6)
+    assert outs[0][1] == pytest.approx(outs[1][1], rel=2e-5)
+
+
 def test_sharded_matches_single_device():
     """The same train step on a 1-device and an 8-device mesh must agree —
     the real pjit path on fake CPU devices."""
