@@ -11,4 +11,23 @@ from hopvae_tpu.models.hopvae import HopVAE
 
 __version__ = "0.1.0"
 
-__all__ = ["MakeConfig", "load_config", "HopVAE", "__version__"]
+__all__ = [
+    "MakeConfig",
+    "load_config",
+    "HopVAE",
+    "Trainer",
+    "InferenceEngine",
+    "__version__",
+]
+
+
+def __getattr__(name):  # lazy: Trainer/InferenceEngine pull in optax/serving
+    if name == "Trainer":
+        from hopvae_tpu.train import Trainer
+
+        return Trainer
+    if name == "InferenceEngine":
+        from hopvae_tpu.serving import InferenceEngine
+
+        return InferenceEngine
+    raise AttributeError(name)
