@@ -1,0 +1,116 @@
+"""Data-layer readers: IDX (MNIST native), CIFAR10 pickles, image folder,
+and the reference-exact normalizations — all against synthesized files."""
+
+import gzip
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from hopvae_tpu.config import load_config
+from hopvae_tpu.data import (
+    MNIST_MEAN,
+    MNIST_STD,
+    get_datasets,
+    iterate_batches,
+    load_cifar10,
+    load_image_folder,
+    load_mnist,
+    read_idx,
+)
+
+
+def _write_idx_images(path, arr: np.ndarray, gz=False):
+    # IDX format: magic 0x0000080{ndim} (ubyte dtype), big-endian dims, raw data
+    magic = struct.pack(">I", 0x00000800 | arr.ndim)
+    data = magic + struct.pack(">" + "I" * arr.ndim, *arr.shape) + arr.tobytes()
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(data)
+
+
+def test_read_idx_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (5, 28, 28)).astype(np.uint8)
+    labels = rng.integers(0, 10, (5,)).astype(np.uint8)
+    _write_idx_images(tmp_path / "imgs.idx", imgs)
+    _write_idx_images(tmp_path / "labels.idx.gz", labels, gz=True)
+    np.testing.assert_array_equal(read_idx(str(tmp_path / "imgs.idx")), imgs)
+    np.testing.assert_array_equal(read_idx(str(tmp_path / "labels.idx.gz")), labels)
+
+
+def test_load_mnist_from_idx_files(tmp_path):
+    rng = np.random.default_rng(1)
+    for name, shape in [
+        ("train-images-idx3-ubyte", (6, 28, 28)),
+        ("t10k-images-idx3-ubyte", (4, 28, 28)),
+    ]:
+        _write_idx_images(tmp_path / name, rng.integers(0, 256, shape).astype(np.uint8))
+    for name, n in [("train-labels-idx1-ubyte", 6), ("t10k-labels-idx1-ubyte", 4)]:
+        _write_idx_images(tmp_path / name, rng.integers(0, 10, (n,)).astype(np.uint8))
+    out = load_mnist(str(tmp_path))
+    assert out is not None
+    tr_x, tr_y, te_x, te_y = out
+    assert tr_x.shape == (6, 28, 28) and te_y.shape == (4,)
+
+    cfg = load_config("mnist_28")
+    train, val, test = get_datasets(cfg, str(tmp_path))
+    assert len(train) == 6 and len(test) == 4
+    # reference normalization: (x/255 - 0.1307) / 0.3081 (utils/__init__.py:88-91)
+    expected = (tr_x.astype(np.float32) / 255.0 - MNIST_MEAN) / MNIST_STD
+    np.testing.assert_allclose(train.images[..., 0], expected, rtol=1e-6)
+
+
+def test_load_cifar10_from_pickles(tmp_path):
+    base = tmp_path / "cifar-10-batches-py"
+    os.makedirs(base)
+    rng = np.random.default_rng(2)
+
+    def _batch(path, n):
+        with open(path, "wb") as f:
+            pickle.dump(
+                {b"data": rng.integers(0, 256, (n, 3072)).astype(np.uint8),
+                 b"labels": list(rng.integers(0, 10, n))},
+                f,
+            )
+
+    for i in range(1, 6):
+        _batch(base / f"data_batch_{i}", 4)
+    _batch(base / "test_batch", 3)
+
+    out = load_cifar10(str(tmp_path))
+    assert out is not None
+    tr_x, tr_y, te_x, te_y = out
+    assert tr_x.shape == (20, 32, 32, 3) and te_x.shape == (3, 32, 32, 3)
+
+    cfg = load_config("cifar10_32")
+    train, val, test = get_datasets(cfg, str(tmp_path))
+    assert len(train) == 20
+    # data_variance is computed (the reference crashes here — divergence)
+    assert 0 < cfg.data_variance < 1
+
+
+def test_load_image_folder(tmp_path):
+    from PIL import Image
+
+    for i in range(4):
+        Image.new("RGB", (40, 40), (i * 40, 10, 200)).save(tmp_path / f"img{i}.png")
+    imgs = load_image_folder(str(tmp_path), 32)
+    assert imgs.shape == (4, 32, 32, 3)
+
+    cfg = load_config("ffhq_32")
+    train, val, test = get_datasets(cfg, str(tmp_path))
+    # reference split 70/10/20 (utils/__init__.py:119)
+    assert len(train) == 2 and len(test) >= 1
+
+
+def test_iterate_batches_drop_remainder():
+    from hopvae_tpu.data import ArrayDataset
+
+    ds = ArrayDataset(np.zeros((10, 4, 4, 1), np.float32), np.zeros(10, np.int64))
+    full = list(iterate_batches(ds, 4, shuffle=False))
+    assert [len(b[0]) for b in full] == [4, 4, 2]
+    dropped = list(iterate_batches(ds, 4, shuffle=False, drop_remainder=True))
+    assert [len(b[0]) for b in dropped] == [4, 4]
