@@ -35,6 +35,53 @@ def test_center_chain_equals_forward_logits():
             )
 
 
+def test_rowcache_matches_fullgrid_sampler():
+    """The row-cached sampler must draw bit-identical samples to the
+    full-grid-per-pixel scan (same key ⇒ same logits ⇒ same draws), and
+    its per-layer row activations must equal the full forward exactly —
+    including rows 0-2, where the window overlaps the zero padding (the
+    normalized-padding regression)."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 6
+    cfg.prior_num_filters = 24
+    cfg.prior_num_res_blocks = 2
+    p = PixelCNNPrior(cfg)
+    params = p.init(jax.random.PRNGKey(0))
+    s_grid = p._sample_scan(params, jax.random.PRNGKey(7), 3)
+    s_row = p._sample_scan_rowcache(params, jax.random.PRNGKey(7), 3)
+    np.testing.assert_array_equal(np.asarray(s_grid), np.asarray(s_row))
+
+    # activation-level exactness on a populated grid
+    from hopvae_tpu.models.priors.pixelcnn import _masked_conv_apply, relu
+
+    rng = np.random.default_rng(0)
+    r, c, f = 6, 3, p.features
+    grid = jnp.asarray(rng.integers(0, cfg.num_levels, (2, r, r, c)).astype(np.float32))
+    x = grid / (cfg.num_levels - 1) * 2 - 1
+    h_full = [_masked_conv_apply(params["conv_in"], x)]
+    h = h_full[0]
+    for blk in params["res"]:
+        za = _masked_conv_apply(blk["conv_a"], relu(h))
+        y = _masked_conv_apply(blk["conv_b"], relu(za))
+        h = h + y
+        h_full.append(h)
+
+    cm = p._center_mats(params)
+    grid_pad = jnp.zeros((2, r + 3, r, c)).at[:, 3:].set(grid)
+    caches = tuple(jnp.zeros((2, r + 1, r, f)) for _ in range(p.n_res))
+    for i in range(r):
+        h_rows, _ = p._row_pass(params, cm, grid_pad, caches, i)
+        for l, hr in enumerate(h_rows):
+            np.testing.assert_allclose(
+                np.asarray(hr), np.asarray(h_full[l][:, i]), rtol=1e-5, atol=1e-5,
+                err_msg=f"row {i} layer {l}",
+            )
+        caches = tuple(
+            jax.lax.dynamic_update_slice(cc, row[:, None], (0, i + 1, 0, 0))
+            for cc, row in zip(caches, h_rows[: p.n_res])
+        )
+
+
 def test_fast_sampler_respects_updated_channels():
     """Channel substeps must condition on just-sampled channels: with a
     deterministic (peaked) conditional, channel 1 must track channel 0."""
