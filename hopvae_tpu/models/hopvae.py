@@ -141,14 +141,17 @@ class HopVAE:
         ``forward`` (``HopVAE.py:248-293``)."""
         cfg = self.config
         r = self.representation_dim
-        z = self._encode_to_tokens(params, x)
+        with jax.named_scope("encoder"):
+            z = self._encode_to_tokens(params, x)
 
-        z_embeddings, z_indices_quantised, z_embeddings_recon = hopfield_bottleneck(
-            bottleneck_params(params), z, self.num_levels, impl=self.impl
-        )
-        embedding_recon_loss = jnp.mean((z_embeddings_recon - z_embeddings) ** 2)
+        with jax.named_scope("hopfield_bottleneck"):
+            z_embeddings, z_indices_quantised, z_embeddings_recon = hopfield_bottleneck(
+                bottleneck_params(params), z, self.num_levels, impl=self.impl
+            )
+            embedding_recon_loss = jnp.mean((z_embeddings_recon - z_embeddings) ** 2)
 
-        x_recon = self._tokens_to_image(params, z_embeddings)
+        with jax.named_scope("decoder"):
+            x_recon = self._tokens_to_image(params, z_embeddings)
 
         if fit_prior:
             b = x.shape[0]

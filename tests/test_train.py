@@ -122,6 +122,32 @@ def test_pattern_sharding_matches_replicated():
     assert outs[0][1] == pytest.approx(outs[1][1], rel=2e-5)
 
 
+def test_sharded_sampling_matches_unsharded():
+    """AR sampling with the batch sharded over the data axis must produce
+    the same draws as unsharded (deterministic PRNG, batch-parallel scan)."""
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg("pixelcnn_mnist_28", batch=8)
+    cfg.representation_dim = 4
+    cfg.prior_num_filters = 12
+    cfg.prior_num_res_blocks = 1
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    ref = np.asarray(model.sample(params, key, num_samples=8))
+
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:8])
+    p = mesh_lib.shard_params(mesh, jax.device_get(params))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out_sh = NamedSharding(mesh, P("data"))
+    f = jax.jit(
+        lambda p, k: model.sample(p, k, num_samples=8), out_shardings=out_sh
+    )
+    got = np.asarray(f(p, key))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_matches_single_device():
     """The same train step on a 1-device and an 8-device mesh must agree —
     the real pjit path on fake CPU devices."""
