@@ -127,8 +127,9 @@ def main():
     # ---- headline: FFHQ-64 recon images/sec/chip ------------------------
     # recon maps images -> images, so the timing chain feeds each output
     # back as the next input (true serial device time; see utils/benchmark).
-    # Headline is the production path (bf16 conv stacks — golden recon MSE
-    # delta 1.3% vs f32, BASELINE.md); the f32 parity path is also recorded.
+    # Headline is the production path (bf16 conv stacks + streaming Pallas
+    # bottleneck — golden recon-MSE delta 0.2% vs f32, BASELINE.md); the
+    # f32 parity path is also recorded.
     cfg = load_config("ffhq_64")
     batch = 256
     model = HopVAE(cfg)
@@ -143,11 +144,11 @@ def main():
     tpu_ips = batch / dt
     details["ffhq64_recon_images_per_sec_tpu"] = tpu_ips
     details["ffhq64_recon_batch"] = batch
-    details["ffhq64_recon_dtype"] = "bf16 conv stacks, f32 bottleneck"
+    details["ffhq64_recon_config"] = "bf16 conv stacks + streaming Pallas bottleneck"
 
     # ---- side: FFHQ-64-scaled (4096 patterns): parity path vs production
-    # (at this memory size the bottleneck dominates; the fused Pallas kernel
-    # + bf16 convs is ~1.66x the best XLA path)
+    # (at this memory size the bottleneck dominates; streaming Pallas
+    # kernel + bf16 convs is ~3x the best XLA path)
     scfg = load_config("ffhq_64_scaled")
     for impl, sdt, name in (
         ("xla", None, "xla_f32"),
@@ -182,7 +183,6 @@ def main():
 
         dt = device_seconds_per_iter(train_step, (params, tx.init(params)), iters=10)
         details[f"ffhq64_train_images_per_sec_tpu_{name}"] = batch / dt
-    details["ffhq64_train_images_per_sec_tpu"] = details["ffhq64_train_images_per_sec_tpu_bf16"]
 
     # ---- side: MNIST-28 golden recon MSE + throughput -------------------
     mcfg = load_config("mnist_28")

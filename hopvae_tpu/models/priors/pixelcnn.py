@@ -22,11 +22,14 @@ mask-A first layer / mask-B elsewhere scheme, with feature maps split
 into ``index_dim`` groups. Verified by the autoregressive-property test
 (logit (i,j,c) independent of inputs at ≥ (i,j,c); SURVEY.md §4.3).
 
-TPU-first sampling: the whole AR loop is one ``lax.scan`` over the
-``r²·C`` positions running on-device — no host round-trips — batched over
-samples. (A per-layer activation-cache variant per "Fast Generation for
-Convolutional Autoregressive Models" is the planned optimization; the
-scan keeps full-network steps, which at r≤17 are MXU-tiny.)
+TPU-first sampling: the whole AR loop is one ``lax.scan`` over the r²
+pixels running on-device — no host round-trips — batched over samples,
+with two exact accelerations (per "Fast Generation for Convolutional
+Autoregressive Models", PAPERS.md): per-layer **row caches** so each step
+recomputes only row i of every conv, and a **center-tap channel chain**
+so the C per-pixel channel draws are vector matmuls instead of forwards.
+~30k samples/s device-time at r=8/batch 1024 on one v5e chip (~25× the
+naive full-grid r²·C scan); see the sampler block comments.
 """
 
 from __future__ import annotations
@@ -278,12 +281,19 @@ class PixelCNNPrior:
                 grid_pad = jax.lax.dynamic_update_slice(
                     grid_pad, lvl.reshape(n, 1, 1, 1), (0, i + 3, j, ch)
                 )
-            # post-sample pass refreshes the caches so row i is final when
-            # row i+1 reads it
-            h_rows, _ = self._row_pass(params, cm, grid_pad, caches, i)
-            caches = tuple(
-                jax.lax.dynamic_update_slice(cache, row[:, None], (0, i + 1, 0, 0))
-                for cache, row in zip(caches, h_rows[: self.n_res])
+            # refresh the caches ONLY at the last pixel of the row — that is
+            # the only point where the next reader (row i+1) needs row i
+            # final; refreshing every step would double the row-pass FLOPs
+            def refresh(args):
+                grid_pad, caches = args
+                h_rows, _ = self._row_pass(params, cm, grid_pad, caches, i)
+                return tuple(
+                    jax.lax.dynamic_update_slice(cache, row[:, None], (0, i + 1, 0, 0))
+                    for cache, row in zip(caches, h_rows[: self.n_res])
+                )
+
+            caches = jax.lax.cond(
+                j == r - 1, refresh, lambda args: args[1], (grid_pad, caches)
             )
             return (grid_pad, caches, key), None
 

@@ -47,6 +47,23 @@ def test_pallas_handles_unaligned_token_count():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_singleshot_kernel_matches_reference():
+    """The single-shot fused kernel is no longer the production dispatch
+    (streaming won everywhere) but is kept as a reference implementation —
+    this test keeps it from rotting."""
+    import hopvae_tpu.ops.hopfield_pallas as hp
+
+    params = _params(256)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 64))
+    ref = bn.hopfield_bottleneck_xla(params, x, 512)
+    with pltpu.force_tpu_interpret_mode():
+        got = hp._bottleneck_fwd_pallas(params, x, 512)
+    for name, a, b in zip(("e", "zq", "r"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_streaming_bottleneck_matches_reference():
     """Pattern-axis streaming path (SURVEY.md §5.7): online-softmax over
     M-blocks must equal the single-shot reference, including the padded
