@@ -42,10 +42,13 @@ from hopvae_tpu.ops.bottleneck import bottleneck_params, hopfield_bottleneck
 
 
 def _lookup(params, x, impl: str):
-    # single-layer lookups (sample/interpolate paths) stay on the XLA impl;
-    # the fused Pallas kernel covers the forward bottleneck where the
-    # throughput lives
-    del impl
+    """One Hopfield lookup honoring the model's ``impl`` — sample and
+    interpolate run the same streaming Pallas kernel as the forward
+    bottleneck when ``impl="pallas"``."""
+    if impl == "pallas":
+        from hopvae_tpu.ops.hopfield_pallas import hopfield_lookup_pallas
+
+        return hopfield_lookup_pallas(params, x)
     return hopfield_lookup(params, x)
 
 

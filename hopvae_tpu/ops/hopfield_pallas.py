@@ -24,10 +24,14 @@ Two kernels share the folded-table math:
   compute, and it is the only path that fits M ≳ 8192 at all
   (M=16384 runs in 1.4 ms where single-shot exceeds VMEM).
 
-Differentiation: ``custom_vjp`` — forward runs the kernel, backward
-recomputes through the jnp reference (exact reference gradients, forward
-at kernel speed). Training prefers ``impl="xla"`` anyway: one fused
-autodiff graph beats kernel-forward + recompute-backward.
+Differentiation: each streaming lookup is a ``custom_vjp`` over its actual
+array inputs ``(x, K, U, ln_scale, ln_bias)`` — the host-side table fold
+stays ordinary differentiable JAX, so parameter gradients flow through it
+for free. The forward kernel emits flash-style softmax row stats
+(max + denominator); two backward kernels recompute the attention
+probabilities blockwise from those stats, so the (N, M) attention matrix
+never touches HBM in either direction — the reason this path beats XLA
+autodiff (which materializes softmax outputs as residuals) for training.
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hopvae_tpu.ops.hopfield import LN_EPS
+from hopvae_tpu.ops.ste import straight_through_round
 
 TOKEN_BLOCK = 256
 
@@ -189,7 +194,27 @@ def _bottleneck_fwd_pallas(params: dict, x: jax.Array, num_levels: int, precisio
 PATTERN_BLOCK = 2048
 
 
-def _stream_kernel(x_ref, k_ref, u_ref, b_ref, s_ref, t_ref, o_ref, acc, mx, dn, *, d, beta, precision, m_actual):
+def _pattern_block_for(m: int) -> int:
+    # block sized to the memory: small memories take one tight block
+    # instead of padding up to the full PATTERN_BLOCK (4x waste at M=512)
+    return min(PATTERN_BLOCK, -(-m // 256) * 256)
+
+
+def _ln_parts(x, d: int):
+    """LayerNorm pieces over the (unpadded) last-axis width ``d``."""
+    mean = jnp.sum(x, axis=-1, keepdims=True) / d
+    cent = x - mean
+    var = jnp.sum(cent * cent, axis=-1, keepdims=True) / d
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    return cent * inv, inv
+
+
+def _stream_fwd_kernel(
+    x_ref, k_ref, u_ref, s_ref, t_ref,
+    o_ref, m_out, l_out,
+    acc, mx, dn,
+    *, d, beta, precision, m_actual,
+):
     j = pl.program_id(1)
     nm = pl.num_programs(1)
 
@@ -199,7 +224,8 @@ def _stream_kernel(x_ref, k_ref, u_ref, b_ref, s_ref, t_ref, o_ref, acc, mx, dn,
         dn[...] = jnp.zeros_like(dn)
         acc[...] = jnp.zeros_like(acc)
 
-    q = _ln(x_ref[...], s_ref[...], t_ref[...], d)
+    xhat, _ = _ln_parts(x_ref[...], d)
+    q = xhat * s_ref[...] + t_ref[...]
     s = jax.lax.dot_general(
         q, k_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
@@ -219,106 +245,315 @@ def _stream_kernel(x_ref, k_ref, u_ref, b_ref, s_ref, t_ref, o_ref, acc, mx, dn,
 
     @pl.when(j == nm - 1)
     def _():
-        o_ref[...] = acc[...] / dn[...] + b_ref[...]
+        o_ref[...] = (acc[...] / dn[...]).astype(o_ref.dtype)
+        m_out[...] = mx[...]
+        l_out[...] = dn[...]
 
 
-def _lookup_streaming(folded, x: jax.Array, *, precision=None) -> jax.Array:
-    """One Hopfield lookup with the pattern axis streamed in blocks.
+def _recompute_attn(x, k, s, t, m_stat, l_stat, j, *, d, beta, precision, m_actual):
+    """Rebuild one (token-block × pattern-block) tile of the attention
+    probabilities from the saved flash stats (exact, not approximate)."""
+    xhat, inv = _ln_parts(x, d)
+    q = xhat * s + t
+    sc = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * beta
+    blk = k.shape[0]
+    pat_idx = j * blk + jax.lax.broadcasted_iota(jnp.int32, sc.shape, dimension=1)
+    sc = jnp.where(pat_idx < m_actual, sc, -1e30)
+    a = jnp.exp(sc - m_stat) / l_stat
+    return a, q, xhat, inv
 
-    ``folded`` = (K, U, b, ln_scale, ln_bias) from :func:`_fold_layer`;
-    ``x`` is (..., d_in); returns (..., d_out).
-    """
-    k, u, b, s, t = folded
-    m, d = k.shape
-    d_out = u.shape[1]
-    *lead, _ = x.shape
-    n = 1
-    for sz in lead:
-        n *= sz
-    xt = x.reshape(n, d)
+
+def _stream_bwd_dx_kernel(
+    x_ref, k_ref, u_ref, s_ref, t_ref, g_ref, m_ref, l_ref, delta_ref,
+    dx_ref, ds_ref, dt_ref,
+    dq_acc,
+    *, d, beta, precision, m_actual,
+):
+    """Grid (token-blocks i, pattern-blocks j): accumulate dq over j; at the
+    row end run the LayerNorm backward in-kernel → dx, and fold this token
+    block's contribution into the (1, d) ds/dt accumulators."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nm = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        dt_ref[...] = jnp.zeros_like(dt_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    a, _, xhat, inv = _recompute_attn(
+        x_ref[...], k_ref[...], s_ref[...], t_ref[...], m_ref[...], l_ref[...],
+        j, d=d, beta=beta, precision=precision, m_actual=m_actual,
+    )
+    g = g_ref[...]
+    da = jax.lax.dot_general(
+        g, u_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    dsc = a * (da - delta_ref[...]) * beta
+    dq_acc[...] += jnp.dot(
+        dsc, k_ref[...], preferred_element_type=jnp.float32, precision=precision
+    )
+
+    @pl.when(j == nm - 1)
+    def _():
+        dq = dq_acc[...]
+        ds_ref[...] += jnp.sum(dq * xhat, axis=0, keepdims=True)
+        dt_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+        dxhat = dq * s_ref[...]
+        m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / d
+        m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / d
+        dx_ref[...] = (inv * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _stream_bwd_dku_kernel(
+    x_ref, k_ref, u_ref, s_ref, t_ref, g_ref, m_ref, l_ref, delta_ref,
+    dk_ref, du_ref,
+    *, d, beta, precision, m_actual,
+):
+    """Grid (pattern-blocks j, token-blocks i): accumulate dK/dU for one
+    pattern block across all token blocks (out blocks stay VMEM-resident
+    for the whole inner sweep)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        du_ref[...] = jnp.zeros_like(du_ref)
+
+    j = pl.program_id(0)
+    a, q, _, _ = _recompute_attn(
+        x_ref[...], k_ref[...], s_ref[...], t_ref[...], m_ref[...], l_ref[...],
+        j, d=d, beta=beta, precision=precision, m_actual=m_actual,
+    )
+    g = g_ref[...]
+    du_ref[...] += jax.lax.dot_general(
+        a, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    da = jax.lax.dot_general(
+        g, u_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    dsc = a * (da - delta_ref[...]) * beta
+    dk_ref[...] += jax.lax.dot_general(
+        dsc, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _pad_tokens(arr, n: int, value: float = 0.0):
     pad = (-n) % TOKEN_BLOCK
-    if pad:
-        xt = jnp.pad(xt, ((0, pad), (0, 0)))
+    if not pad:
+        return arr
+    return jnp.pad(arr, ((0, pad), (0, 0)), constant_values=value)
+
+
+def _attn_call_fwd(x2, k, u, s, t, precision):
+    """pallas_call plumbing for the forward: returns (out, m_stat, l_stat),
+    all sliced back to the unpadded token count."""
+    n, d = x2.shape
+    m, d_out = k.shape[0], u.shape[1]
+    xt = _pad_tokens(x2, n)
     n_pad = xt.shape[0]
-    # block sized to the memory: small memories take one tight block
-    # instead of padding up to the full PATTERN_BLOCK (4x waste at M=512)
-    pattern_block = min(PATTERN_BLOCK, -(-m // 256) * 256)
+    pattern_block = _pattern_block_for(m)
     m_pad = (-m) % pattern_block
     if m_pad:
-        # zero-padded rows are masked to -inf inside the kernel (m_actual)
         k = jnp.pad(k, ((0, m_pad), (0, 0)))
         u = jnp.pad(u, ((0, m_pad), (0, 0)))
     n_m = (m + m_pad) // pattern_block
 
-    out = pl.pallas_call(
+    out, m_stat, l_stat = pl.pallas_call(
         functools.partial(
-            _stream_kernel, d=d, beta=1.0 / (d**0.5), precision=precision, m_actual=m
+            _stream_fwd_kernel, d=d, beta=1.0 / (d**0.5),
+            precision=precision, m_actual=m,
         ),
         grid=(n_pad // TOKEN_BLOCK, n_m),
         in_specs=[
             pl.BlockSpec((TOKEN_BLOCK, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((pattern_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((pattern_block, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (TOKEN_BLOCK, d_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d_out), x.dtype),
+        out_specs=[
+            pl.BlockSpec((TOKEN_BLOCK, d_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TOKEN_BLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TOKEN_BLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d_out), x2.dtype),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((TOKEN_BLOCK, d_out), jnp.float32),
             pltpu.VMEM((TOKEN_BLOCK, 1), jnp.float32),
             pltpu.VMEM((TOKEN_BLOCK, 1), jnp.float32),
         ],
-    )(xt, k, u, b[None, :], s[None, :], t[None, :])
+    )(xt, k, u, s[None, :], t[None, :])
 
-    if pad:
-        out = out[:n]
-    return out.reshape(*lead, d_out)
+    if n_pad != n:
+        out, m_stat, l_stat = out[:n], m_stat[:n], l_stat[:n]
+    return out, m_stat, l_stat
 
 
-def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _attn_ln_stream(x2, k, u, s, t, precision):
+    """Differentiable streaming lookup core: ``softmax(β·LN(x)Kᵀ) @ U`` for
+    2D ``x2 (N, d_in)`` (state LayerNorm fused in-kernel; bias added by the
+    caller). Backward is two fused Pallas kernels (module docstring)."""
+    out, _, _ = _attn_call_fwd(x2, k, u, s, t, precision)
+    return out
+
+
+def _attn_ln_stream_fwd(x2, k, u, s, t, precision):
+    out, m_stat, l_stat = _attn_call_fwd(x2, k, u, s, t, precision)
+    return out, (x2, k, u, s, t, m_stat, l_stat, out)
+
+
+def _attn_ln_stream_bwd(precision, res, g):
+    x2, k, u, s, t, m_stat, l_stat, out = res
+    n, d = x2.shape
+    m, d_out = k.shape[0], u.shape[1]
+    g = g.astype(jnp.float32)
+    delta = jnp.sum(g * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    xt = _pad_tokens(x2, n)
+    gt = _pad_tokens(g, n)
+    # padded token rows must recompute to a == 0 exactly: exp(sc - 1e30)/1
+    mt = _pad_tokens(m_stat, n, value=1e30)
+    lt = _pad_tokens(l_stat, n, value=1.0)
+    dt_ = _pad_tokens(delta, n)
+    n_pad = xt.shape[0]
+
+    pattern_block = _pattern_block_for(m)
+    m_pad = (-m) % pattern_block
+    kp, up = k, u
+    if m_pad:
+        kp = jnp.pad(k, ((0, m_pad), (0, 0)))
+        up = jnp.pad(u, ((0, m_pad), (0, 0)))
+    n_m = (m + m_pad) // pattern_block
+    n_i = n_pad // TOKEN_BLOCK
+
+    kern = functools.partial(
+        _stream_bwd_dx_kernel, d=d, beta=1.0 / (d**0.5),
+        precision=precision, m_actual=m,
+    )
+    tok_spec = lambda w: pl.BlockSpec((TOKEN_BLOCK, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    pat_spec = lambda w: pl.BlockSpec((pattern_block, w), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    vec_spec = lambda w: pl.BlockSpec((1, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    dx, ds, dt = pl.pallas_call(
+        kern,
+        grid=(n_i, n_m),
+        in_specs=[
+            tok_spec(d), pat_spec(d), pat_spec(d_out), vec_spec(d), vec_spec(d),
+            tok_spec(d_out), tok_spec(1), tok_spec(1), tok_spec(1),
+        ],
+        out_specs=[tok_spec(d), vec_spec(d), vec_spec(d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d), x2.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TOKEN_BLOCK, d), jnp.float32)],
+    )(xt, kp, up, s[None, :], t[None, :], gt, mt, lt, dt_)
+
+    kern2 = functools.partial(
+        _stream_bwd_dku_kernel, d=d, beta=1.0 / (d**0.5),
+        precision=precision, m_actual=m,
+    )
+    # grid transposed: (pattern-blocks outer, token-blocks inner)
+    tok_spec2 = lambda w: pl.BlockSpec((TOKEN_BLOCK, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    pat_spec2 = lambda w: pl.BlockSpec((pattern_block, w), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+    vec_spec2 = lambda w: pl.BlockSpec((1, w), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+
+    dk, du = pl.pallas_call(
+        kern2,
+        grid=(n_m, n_i),
+        in_specs=[
+            tok_spec2(d), pat_spec2(d), pat_spec2(d_out), vec_spec2(d), vec_spec2(d),
+            tok_spec2(d_out), tok_spec2(1), tok_spec2(1), tok_spec2(1),
+        ],
+        out_specs=[pat_spec2(d), pat_spec2(d_out)],
+        out_shape=[
+            jax.ShapeDtypeStruct((m + m_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((m + m_pad, d_out), jnp.float32),
+        ],
+    )(xt, kp, up, s[None, :], t[None, :], gt, mt, lt, dt_)
+
+    if n_pad != n:
+        dx = dx[:n]
+    if m_pad:
+        dk, du = dk[:m], du[:m]
+    return (
+        dx,
+        dk.astype(k.dtype),
+        du.astype(u.dtype),
+        ds[0].astype(s.dtype),
+        dt[0].astype(t.dtype),
+    )
+
+
+_attn_ln_stream.defvjp(_attn_ln_stream_fwd, _attn_ln_stream_bwd)
+
+
+def _lookup_streaming(folded, x: jax.Array, *, precision=None) -> jax.Array:
+    """One Hopfield lookup with the pattern axis streamed in blocks.
+
+    ``folded`` = (K, U, b, ln_scale, ln_bias) from :func:`_fold_layer`;
+    ``x`` is (..., d_in); returns (..., d_out). Fully differentiable
+    (custom-VJP Pallas backward).
+    """
+    k, u, b, s, t = folded
+    d_out = u.shape[1]
+    *lead, d = x.shape
+    x2 = x.reshape(-1, d)
+    out = _attn_ln_stream(x2, k, u, s, t, precision)
+    return (out + b).reshape(*lead, d_out)
+
+
+def hopfield_lookup_pallas(params: dict, x: jax.Array, *, precision=None) -> jax.Array:
+    """Single Hopfield lookup via the streaming kernel — the Pallas
+    counterpart of ``ops.hopfield.hopfield_lookup`` (same params pytree,
+    same semantics, differentiable)."""
+    return _lookup_streaming(_fold_layer(params), x, precision=precision)
+
+
+def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int, precision=None):
     """Per-stage streaming bottleneck — the production Pallas path (fastest
-    at every memory size; see module docstring)."""
+    at every memory size; see module docstring). Differentiable end-to-end:
+    the table folds are plain JAX, the lookups carry Pallas VJPs, and the
+    quantizer uses the same straight-through round as the XLA impl
+    (``/root/reference/utils/__init__.py:51-55`` semantics).
+
+    ``precision=None`` (default) lets the MXU use fast bf16 passes — the
+    production choice; pass ``jax.lax.Precision.HIGHEST`` for f32-exact
+    parity checks."""
     l1 = _fold_layer(params["hopfield"])
     l2 = _fold_layer(params["embedding_to_index"])
     l3 = _fold_layer(params["index_to_embedding"])
-    e = _lookup_streaming(l1, x)
-    idx = jax.nn.sigmoid(_lookup_streaming(l2, e))
-    zq = jnp.round(idx * (num_levels - 1))
+    e = _lookup_streaming(l1, x, precision=precision)
+    idx = jax.nn.sigmoid(_lookup_streaming(l2, e, precision=precision))
+    zq = straight_through_round(idx * (num_levels - 1))
     zn = zq / (num_levels - 1)
     # layer 3's pattern dim is index_dim (tiny) but its memory is still M
-    r = _lookup_streaming(l3, zn)
+    r = _lookup_streaming(l3, zn, precision=precision)
     return e, zq, r
 
 
-def _dispatch_fwd(params: dict, x: jax.Array, num_levels: int):
+def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int, precision=None):
     # Streaming wins at EVERY memory size measured (M=512: 1.9x, M=4096:
     # 2.9x over the single-shot fused kernel; 3-5x over XLA) — the 2D
     # (tokens, M-blocks) grid double-buffers pattern-table loads against
     # compute, and it is the only path that fits M > ~8192 in VMEM at all.
     # The single-shot kernel is kept as a reference implementation.
-    return _bottleneck_fwd_streaming(params, x, num_levels)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int):
-    return _dispatch_fwd(params, x, num_levels)
-
-
-def _fwd(params, x, num_levels):
-    # must route through the same dispatch as the primal
-    return _dispatch_fwd(params, x, num_levels), (params, x)
-
-
-def _bwd(num_levels, res, g):
-    from hopvae_tpu.ops.bottleneck import hopfield_bottleneck_xla
-
-    params, x = res
-    _, vjp = jax.vjp(lambda p, x: hopfield_bottleneck_xla(p, x, num_levels), params, x)
-    return vjp(g)
-
-
-hopfield_bottleneck_pallas.defvjp(_fwd, _bwd)
+    return _bottleneck_fwd_streaming(params, x, num_levels, precision=precision)

@@ -81,17 +81,19 @@ def test_streaming_bottleneck_matches_reference():
         )
 
 
-def test_pallas_gradients_match_reference():
-    """custom_vjp backward must equal the jnp reference gradients (it
-    recomputes through them — this guards the wiring, incl. STE)."""
-    params = _params(128)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+@pytest.mark.parametrize("m,s", [(128, 16), (600, 40)])
+def test_pallas_gradients_match_reference(m, s):
+    """The fused Pallas backward (flash-style stat-recompute kernels) must
+    equal the jnp reference gradients for every input — x, pattern
+    memories, projections, and all six LayerNorms — including STE routing
+    and padded pattern blocks (M=600 is not a block multiple)."""
+    params = _params(m)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, s, 64))
 
     def loss(impl):
         def f(p, x):
             if impl == "pallas":
-                with pltpu.force_tpu_interpret_mode():
-                    e, zq, r = bn.hopfield_bottleneck(p, x, 512, impl="pallas")
+                e, zq, r = bn.hopfield_bottleneck(p, x, 512, impl="pallas")
             else:
                 e, zq, r = bn.hopfield_bottleneck_xla(p, x, 512)
             return jnp.mean((r - e) ** 2) + jnp.mean(e) + 1e-4 * jnp.mean(zq)
@@ -99,10 +101,14 @@ def test_pallas_gradients_match_reference():
         return f
 
     g_ref = jax.grad(loss("xla"), argnums=(0, 1))(params, x)
-    g_pal = jax.grad(loss("pallas"), argnums=(0, 1))(params, x)
+    # the whole grad evaluation sits inside the interpret context: the
+    # custom_vjp backward kernels are traced during the backward sweep,
+    # not while the forward body runs
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss("pallas"), argnums=(0, 1))(params, x)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         ),
         g_pal,
         g_ref,
