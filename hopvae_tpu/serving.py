@@ -105,7 +105,22 @@ def _load_images(paths, config) -> np.ndarray:
     out = []
     for p in paths:
         if p.endswith(".npy"):
-            out.append(np.load(p).astype(np.float32))
+            # .npy inputs must already be model-normalized float HWC of the
+            # config geometry ((s, s) accepted for 1-channel); raw uint8
+            # arrays are normalized like image files
+            a = np.load(p)
+            if a.dtype == np.uint8:
+                a = a.astype(np.float32) / 255.0
+                a = (a - MNIST_MEAN) / MNIST_STD if config.data_set == "MNIST" else a - 0.5
+            a = np.asarray(a, np.float32)
+            if a.shape == (s, s) and c == 1:
+                a = a[..., None]
+            if a.shape != (s, s, c):
+                raise ValueError(
+                    f"{p}: expected shape ({s}, {s}, {c}) (or ({s}, {s}) for "
+                    f"1-channel), got {a.shape}"
+                )
+            out.append(a)
             continue
         img = Image.open(p)
         img = img.convert("L" if c == 1 else "RGB").resize((s, s), Image.BILINEAR)

@@ -114,3 +114,87 @@ def test_iterate_batches_drop_remainder():
     assert [len(b[0]) for b in full] == [4, 4, 2]
     dropped = list(iterate_batches(ds, 4, shuffle=False, drop_remainder=True))
     assert [len(b[0]) for b in dropped] == [4, 4]
+
+
+def test_streaming_folder_matches_in_memory(tmp_path):
+    """LazyImageFolder must serve byte-identical batches to the resident
+    ArrayDataset path (same split, same normalization, same order)."""
+    from PIL import Image
+
+    for i in range(10):
+        Image.new("RGB", (40, 40), (i * 25, 10, 200)).save(tmp_path / f"img{i}.png")
+
+    cfg = load_config("ffhq_32")
+    mem = get_datasets(cfg, str(tmp_path), streaming=False)
+    lazy = get_datasets(cfg, str(tmp_path), streaming=True)
+    from hopvae_tpu.data import ArrayDataset, LazyImageFolder
+
+    for m, l in zip(mem, lazy):
+        assert isinstance(m, ArrayDataset) and isinstance(l, LazyImageFolder)
+        assert len(m) == len(l)
+        mb = list(iterate_batches(m, 3, shuffle=True, seed=7))
+        lb = list(iterate_batches(l, 3, shuffle=True, seed=7))
+        for (mx, _), (lx, _) in zip(mb, lb):
+            np.testing.assert_allclose(mx, lx, atol=1e-6)
+
+
+def test_prefetch_same_batches_and_propagates_errors(tmp_path):
+    from hopvae_tpu.data import ArrayDataset
+
+    rng = np.random.default_rng(3)
+    ds = ArrayDataset(rng.standard_normal((13, 4, 4, 1)).astype(np.float32),
+                      np.arange(13, dtype=np.int64))
+    plain = list(iterate_batches(ds, 4, shuffle=True, seed=5))
+    pre = list(iterate_batches(ds, 4, shuffle=True, seed=5, prefetch=2))
+    assert len(plain) == len(pre)
+    for (a, al), (b, bl) in zip(plain, pre):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(al, bl)
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def gather(self, idx):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(iterate_batches(Broken(), 4, shuffle=False, prefetch=2))
+
+
+def test_mnist_resized_to_config_image_size(tmp_path):
+    """Real MNIST files get the reference's transforms.Resize(image_size)
+    treatment when the config overrides image_size."""
+    rng = np.random.default_rng(4)
+    _write_idx_images(tmp_path / "train-images-idx3-ubyte",
+                      rng.integers(0, 256, (6, 28, 28)).astype(np.uint8))
+    _write_idx_images(tmp_path / "t10k-images-idx3-ubyte",
+                      rng.integers(0, 256, (4, 28, 28)).astype(np.uint8))
+    _write_idx_images(tmp_path / "train-labels-idx1-ubyte",
+                      rng.integers(0, 10, (6,)).astype(np.uint8))
+    _write_idx_images(tmp_path / "t10k-labels-idx1-ubyte",
+                      rng.integers(0, 10, (4,)).astype(np.uint8))
+    cfg = load_config("mnist_28")
+    cfg.image_size = 32
+    train, _, test = get_datasets(cfg, str(tmp_path))
+    assert train.images.shape == (6, 32, 32, 1)
+    assert test.images.shape == (4, 32, 32, 1)
+
+
+def test_serving_npy_inputs_validated(tmp_path):
+    """.npy inputs: uint8 gets normalized like image files; wrong shapes
+    are rejected instead of silently producing garbage recons."""
+    from hopvae_tpu.serving import _load_images
+
+    cfg = load_config("mnist_28")
+    raw = np.random.default_rng(5).integers(0, 256, (28, 28)).astype(np.uint8)
+    p = str(tmp_path / "a.npy")
+    np.save(p, raw)
+    out = _load_images([p], cfg)
+    expected = (raw.astype(np.float32) / 255.0 - MNIST_MEAN) / MNIST_STD
+    np.testing.assert_allclose(out[0, ..., 0], expected, rtol=1e-6)
+
+    bad = str(tmp_path / "b.npy")
+    np.save(bad, np.zeros((16, 16), np.float32))
+    with pytest.raises(ValueError, match="expected shape"):
+        _load_images([bad], cfg)

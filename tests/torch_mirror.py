@@ -9,6 +9,16 @@ numeric ground truth for the conv stacks; for the Hopfield bottleneck it
 cross-checks the JAX implementation's layout/transposition handling under
 the same documented semantics (SURVEY.md §2.6a).
 
+CAVEAT (circularity): for the Hopfield bottleneck this mirror encodes the
+SAME derived hflayers semantics as the JAX implementation, so
+bottleneck-level parity tests here are partly self-referential. The
+independent anchors that would catch a shared misreading are the
+*trained-checkpoint round-trip* statistics (golden recon-MSE ≈ 0.0073 and
+embedding round-trip aux ≈ 3.7e-5 — a wrong β / norm placement destroys
+the trained attractor structure and inflates both by orders of magnitude)
+rather than mirror agreement. If a real hflayers environment ever becomes
+available, pin fixed-input attention outputs from it as extra goldens.
+
 Layouts are torch-native NCHW here; tests convert at the boundary.
 """
 
