@@ -281,6 +281,20 @@ def main():
     details["tunnel_roundtrip_sec"] = rt
     details["pixelcnn_samples_per_sec_tpu"] = n_samp / max(dt - rt, 1e-9)
 
+    # scaled-config AR sampling (r=17, 4096-level prior grid): the
+    # column-incremental sampler's headline (VERDICT r1 #6)
+    sprior_params = smodel.init(jax.random.PRNGKey(0))["prior"]
+    s_n = 1024
+    ssample = jax.jit(
+        lambda k: jnp.sum(smodel.prior.sample(sprior_params, k, s_n))
+    )
+    float(ssample(jax.random.PRNGKey(0)))
+    sdt = min(
+        _walltime(lambda: float(ssample(jax.random.PRNGKey(i)))) for i in range(1, 3)
+    )
+    details["ffhq64_scaled_ar_samples_per_sec"] = s_n / max(sdt - rt, 1e-9)
+    details["ffhq64_scaled_ar_sample_batch"] = s_n
+
     # ---- MFU / roofline accounting (analytic FLOPs model, utils/flops.py)
     from hopvae_tpu.utils import flops as fl
 

@@ -69,6 +69,10 @@ class HopVAE:
         self.config = config
         self.impl = impl
         self.compute_dtype = compute_dtype
+        # set by the Trainer for multi-device meshes when impl="pallas":
+        # the bottleneck then runs per-device via shard_map (XLA cannot
+        # partition a Pallas custom call by itself)
+        self.mesh = None
         self.num_embeddings = config.num_embeddings
         self.embedding_dim = config.embedding_dim
         self.index_dim = config.index_dim
@@ -148,9 +152,18 @@ class HopVAE:
             z = self._encode_to_tokens(params, x)
 
         with jax.named_scope("hopfield_bottleneck"):
-            z_embeddings, z_indices_quantised, z_embeddings_recon = hopfield_bottleneck(
-                bottleneck_params(params), z, self.num_levels, impl=self.impl
-            )
+            if self.impl == "pallas" and self.mesh is not None and self.mesh.devices.size > 1:
+                from hopvae_tpu.ops.hopfield_pallas import hopfield_bottleneck_pallas_dp
+
+                z_embeddings, z_indices_quantised, z_embeddings_recon = (
+                    hopfield_bottleneck_pallas_dp(
+                        bottleneck_params(params), z, self.num_levels, self.mesh
+                    )
+                )
+            else:
+                z_embeddings, z_indices_quantised, z_embeddings_recon = hopfield_bottleneck(
+                    bottleneck_params(params), z, self.num_levels, impl=self.impl
+                )
             embedding_recon_loss = jnp.mean((z_embeddings_recon - z_embeddings) ** 2)
 
         with jax.named_scope("decoder"):

@@ -557,3 +557,26 @@ def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int, prec
     # compute, and it is the only path that fits M > ~8192 in VMEM at all.
     # The single-shot kernel is kept as a reference implementation.
     return _bottleneck_fwd_streaming(params, x, num_levels, precision=precision)
+
+
+def hopfield_bottleneck_pallas_dp(params: dict, x: jax.Array, num_levels: int, mesh, precision=None):
+    """Data-parallel bottleneck for a multi-device mesh.
+
+    XLA's partitioner cannot split a Pallas custom call on its own, so
+    under plain ``jit`` with a sharded batch the kernel would force a full
+    all-gather. This wrapper runs the kernel per-device via ``shard_map``
+    over the mesh's ``data`` axis with parameters replicated — the
+    shard_map transpose inserts the parameter-gradient ``psum`` over ICI
+    automatically, so training works unchanged. Pattern memories must be
+    replicated here (the Trainer guards the sharded-patterns combination).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    pspec = jax.tree_util.tree_map(lambda _: P(), params)
+
+    def fn(p, t):
+        return hopfield_bottleneck_pallas(p, t, num_levels, precision=precision)
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(pspec, P("data")), out_specs=P("data"), check_vma=False
+    )(params, x)

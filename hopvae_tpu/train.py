@@ -72,6 +72,17 @@ class Trainer:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.shard_patterns = shard_patterns
         self._train_step = {}  # fit_prior -> compiled fn
+        if model.impl == "pallas" and self.mesh.devices.size > 1:
+            if shard_patterns:
+                raise ValueError(
+                    "impl='pallas' with sharded pattern memories is not "
+                    "supported: the kernel's softmax would need a cross-"
+                    "shard merge. Use impl='xla' (XLA inserts the pattern-"
+                    "axis collectives from the shardings) or replicate the "
+                    "patterns (shard_patterns=False)."
+                )
+            # route the bottleneck through shard_map on this mesh
+            model.mesh = self.mesh
 
     # ------------------------------------------------------------- steps
 

@@ -98,3 +98,24 @@ def test_fast_sampler_respects_updated_channels():
     assert np.allclose(a, np.round(a))
     # different pixels/samples produce varied values (not a constant field)
     assert len(np.unique(a)) > 10
+
+
+def test_colchain_matches_rowcache_sampler():
+    """The column-incremental sampler (production) must draw the same
+    samples as the row-cache sampler — same RNG stream, logits equal to
+    float-summation order — at a geometry covering multi-row windows,
+    row transitions, and the 7×7 first-layer padding overlap."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 6
+    cfg.prior_num_filters = 24
+    cfg.prior_num_res_blocks = 2
+    p = PixelCNNPrior(cfg)
+    params = p.init(jax.random.PRNGKey(0))
+    s_row = p._sample_scan_rowcache(params, jax.random.PRNGKey(7), 3)
+    s_col = p._sample_scan_colchain(params, jax.random.PRNGKey(7), 3)
+    np.testing.assert_array_equal(np.asarray(s_row), np.asarray(s_col))
+
+    # and against the naive full-grid scan on another key
+    s_grid = p._sample_scan(params, jax.random.PRNGKey(11), 2)
+    s_col2 = p._sample_scan_colchain(params, jax.random.PRNGKey(11), 2)
+    np.testing.assert_array_equal(np.asarray(s_grid), np.asarray(s_col2))

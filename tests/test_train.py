@@ -172,3 +172,53 @@ def test_sharded_matches_single_device():
 
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5, atol=1e-6)
     assert results[0][1] == pytest.approx(results[1][1], rel=2e-5)
+
+
+def test_pallas_sharded_matches_single_device():
+    """impl='pallas' on a multi-device mesh routes the bottleneck through
+    shard_map (XLA cannot partition a Pallas call); the train step must
+    match the single-device pallas step, including the parameter-grad psum
+    inserted by the shard_map transpose. Interpret mode (CPU backend)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg(batch=8)
+    # interpreter-mode Pallas is slow; shrink every extensive axis
+    cfg.num_embeddings = 64
+    cfg.num_hiddens = 32
+    model = HopVAE(cfg, impl="pallas")
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 28, 28, 1), dtype=np.float32)
+
+    results = []
+    with pltpu.force_tpu_interpret_mode():
+        for devs in (jax.devices()[:1], jax.devices()[:8]):
+            model.mesh = None  # Trainer re-sets it for multi-device meshes
+            mesh = mesh_lib.make_mesh(devices=devs)
+            tr = Trainer(model, cfg, mesh=mesh)
+            assert (model.mesh is not None) == (len(devs) > 1)
+            tr._tx = {False: make_optimizer(cfg, 1, prior_only=False, params=params)}
+            p = mesh_lib.shard_params(mesh, jax.device_get(params))
+            opt = tr._tx[False].init(p)
+            bx = mesh_lib.shard_batch(mesh, jnp.asarray(x))
+            p, opt, m = tr.train_step(False)(p, opt, bx)
+            results.append(
+                (jax.device_get(p["hopfield"]["lookup_weights"]), float(m["loss"]))
+            )
+    model.mesh = None
+
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5, atol=1e-6)
+    assert results[0][1] == pytest.approx(results[1][1], rel=2e-5)
+
+
+def test_pallas_with_sharded_patterns_is_rejected():
+    """The unsupported combination must fail loudly at Trainer construction,
+    not silently replicate or mis-shard (ADVICE r1 #1)."""
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg(batch=16)
+    model = HopVAE(cfg, impl="pallas")
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="sharded pattern"):
+        Trainer(model, cfg, mesh=mesh, shard_patterns=True)
+    model.mesh = None
