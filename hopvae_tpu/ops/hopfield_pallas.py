@@ -226,8 +226,11 @@ def _stream_fwd_kernel(
 
     xhat, _ = _ln_parts(x_ref[...], d)
     q = xhat * s_ref[...] + t_ref[...]
+    # tables may be stored bf16 (halves their HBM traffic); casting the
+    # other operand to the table dtype costs nothing beyond what the MXU's
+    # default-precision bf16 passes already do
     s = jax.lax.dot_general(
-        q, k_ref[...], (((1,), (1,)), ((), ())),
+        q.astype(k_ref.dtype), k_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     ) * beta
     # mask out zero-padded pattern rows in the final block
@@ -239,7 +242,8 @@ def _stream_fwd_kernel(
     scale = jnp.exp(mx[...] - m_new)
     dn[...] = dn[...] * scale + jnp.sum(p, axis=-1, keepdims=True)
     acc[...] = acc[...] * scale + jnp.dot(
-        p, u_ref[...], preferred_element_type=jnp.float32, precision=precision
+        p.astype(u_ref.dtype), u_ref[...],
+        preferred_element_type=jnp.float32, precision=precision,
     )
     mx[...] = m_new
 
@@ -256,7 +260,7 @@ def _recompute_attn(x, k, s, t, m_stat, l_stat, j, *, d, beta, precision, m_actu
     xhat, inv = _ln_parts(x, d)
     q = xhat * s + t
     sc = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     ) * beta
     blk = k.shape[0]
@@ -294,12 +298,13 @@ def _stream_bwd_dx_kernel(
     )
     g = g_ref[...]
     da = jax.lax.dot_general(
-        g, u_ref[...], (((1,), (1,)), ((), ())),
+        g.astype(u_ref.dtype), u_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
     dsc = a * (da - delta_ref[...]) * beta
     dq_acc[...] += jnp.dot(
-        dsc, k_ref[...], preferred_element_type=jnp.float32, precision=precision
+        dsc.astype(k_ref.dtype), k_ref[...],
+        preferred_element_type=jnp.float32, precision=precision,
     )
 
     @pl.when(j == nm - 1)
@@ -339,7 +344,7 @@ def _stream_bwd_dku_kernel(
         preferred_element_type=jnp.float32, precision=precision,
     )
     da = jax.lax.dot_general(
-        g, u_ref[...], (((1,), (1,)), ((), ())),
+        g.astype(u_ref.dtype), u_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
     dsc = a * (da - delta_ref[...]) * beta
@@ -506,14 +511,26 @@ def _attn_ln_stream_bwd(precision, res, g):
 _attn_ln_stream.defvjp(_attn_ln_stream_fwd, _attn_ln_stream_bwd)
 
 
-def _lookup_streaming(folded, x: jax.Array, *, precision=None) -> jax.Array:
+def _lookup_streaming(folded, x: jax.Array, *, precision=None, table_dtype=None) -> jax.Array:
     """One Hopfield lookup with the pattern axis streamed in blocks.
 
     ``folded`` = (K, U, b, ln_scale, ln_bias) from :func:`_fold_layer`;
     ``x`` is (..., d_in); returns (..., d_out). Fully differentiable
     (custom-VJP Pallas backward).
+
+    ``table_dtype=jnp.bfloat16`` stores the folded K/U tables in bf16
+    (halving their HBM bytes); accumulation stays f32 and gradients flow
+    back through the casts to the f32 master parameters. Measured on
+    1× v5e (2026-08-16): NO speedup at M=512 or 4096 — Mosaic's grid
+    pipelining already hides the table DMAs behind compute — and the
+    quantizer's bin flips amplify the bf16 rounding into the round-trip
+    output. Kept as an option for genuinely bandwidth-bound future shapes
+    (M ≳ 10⁵); default off.
     """
     k, u, b, s, t = folded
+    if table_dtype is not None:
+        k = k.astype(table_dtype)
+        u = u.astype(table_dtype)
     d_out = u.shape[1]
     *lead, d = x.shape
     x2 = x.reshape(-1, d)
@@ -528,7 +545,9 @@ def hopfield_lookup_pallas(params: dict, x: jax.Array, *, precision=None) -> jax
     return _lookup_streaming(_fold_layer(params), x, precision=precision)
 
 
-def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int, precision=None):
+def _bottleneck_fwd_streaming(
+    params: dict, x: jax.Array, num_levels: int, precision=None, table_dtype=None
+):
     """Per-stage streaming bottleneck — the production Pallas path (fastest
     at every memory size; see module docstring). Differentiable end-to-end:
     the table folds are plain JAX, the lookups carry Pallas VJPs, and the
@@ -541,22 +560,27 @@ def _bottleneck_fwd_streaming(params: dict, x: jax.Array, num_levels: int, preci
     l1 = _fold_layer(params["hopfield"])
     l2 = _fold_layer(params["embedding_to_index"])
     l3 = _fold_layer(params["index_to_embedding"])
-    e = _lookup_streaming(l1, x, precision=precision)
-    idx = jax.nn.sigmoid(_lookup_streaming(l2, e, precision=precision))
+    kw = dict(precision=precision, table_dtype=table_dtype)
+    e = _lookup_streaming(l1, x, **kw)
+    idx = jax.nn.sigmoid(_lookup_streaming(l2, e, **kw))
     zq = straight_through_round(idx * (num_levels - 1))
     zn = zq / (num_levels - 1)
     # layer 3's pattern dim is index_dim (tiny) but its memory is still M
-    r = _lookup_streaming(l3, zn, precision=precision)
+    r = _lookup_streaming(l3, zn, **kw)
     return e, zq, r
 
 
-def hopfield_bottleneck_pallas(params: dict, x: jax.Array, num_levels: int, precision=None):
+def hopfield_bottleneck_pallas(
+    params: dict, x: jax.Array, num_levels: int, precision=None, table_dtype=None
+):
     # Streaming wins at EVERY memory size measured (M=512: 1.9x, M=4096:
     # 2.9x over the single-shot fused kernel; 3-5x over XLA) — the 2D
     # (tokens, M-blocks) grid double-buffers pattern-table loads against
     # compute, and it is the only path that fits M > ~8192 in VMEM at all.
     # The single-shot kernel is kept as a reference implementation.
-    return _bottleneck_fwd_streaming(params, x, num_levels, precision=precision)
+    return _bottleneck_fwd_streaming(
+        params, x, num_levels, precision=precision, table_dtype=table_dtype
+    )
 
 
 def hopfield_bottleneck_pallas_dp(params: dict, x: jax.Array, num_levels: int, mesh, precision=None):
