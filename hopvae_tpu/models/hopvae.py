@@ -71,8 +71,11 @@ class HopVAE:
         self.compute_dtype = compute_dtype
         # set by the Trainer for multi-device meshes when impl="pallas":
         # the bottleneck then runs per-device via shard_map (XLA cannot
-        # partition a Pallas custom call by itself)
+        # partition a Pallas custom call by itself); shard_patterns
+        # additionally splits the pattern memories over the model axis
+        # with a cross-shard softmax merge
         self.mesh = None
+        self.shard_patterns = False
         self.num_embeddings = config.num_embeddings
         self.embedding_dim = config.embedding_dim
         self.index_dim = config.index_dim
@@ -153,11 +156,12 @@ class HopVAE:
 
         with jax.named_scope("hopfield_bottleneck"):
             if self.impl == "pallas" and self.mesh is not None and self.mesh.devices.size > 1:
-                from hopvae_tpu.ops.hopfield_pallas import hopfield_bottleneck_pallas_dp
+                from hopvae_tpu.ops.hopfield_pallas import hopfield_bottleneck_pallas_sharded
 
                 z_embeddings, z_indices_quantised, z_embeddings_recon = (
-                    hopfield_bottleneck_pallas_dp(
-                        bottleneck_params(params), z, self.num_levels, self.mesh
+                    hopfield_bottleneck_pallas_sharded(
+                        bottleneck_params(params), z, self.num_levels, self.mesh,
+                        shard_patterns=self.shard_patterns,
                     )
                 )
             else:

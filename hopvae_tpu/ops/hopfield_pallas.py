@@ -583,24 +583,121 @@ def hopfield_bottleneck_pallas(
     )
 
 
-def hopfield_bottleneck_pallas_dp(params: dict, x: jax.Array, num_levels: int, mesh, precision=None):
-    """Data-parallel bottleneck for a multi-device mesh.
+# ------------------------------------------------------------------------
+# Multi-device dispatch. XLA's partitioner cannot split a Pallas custom
+# call on its own, so under plain ``jit`` with a sharded batch the kernel
+# would force a full all-gather; instead the bottleneck runs per-device
+# via ``shard_map``:
+#
+# - data axis: batch sharded; the shard_map transpose inserts the
+#   parameter-gradient psum over ICI automatically.
+# - model axis (``shard_patterns=True``): each device holds an M/n_model
+#   slice of every pattern memory. The forward kernel already emits
+#   flash-style (row-max, denominator) stats, so the cross-shard softmax
+#   is a log-sum-exp merge: gm = pmax(m), gl = psum(l·exp(m−gm)),
+#   out = psum(o·l·exp(m−gm))/gl. The backward reuses the SAME local
+#   kernels with the GLOBAL stats — exp(sc − gm)/gl is exactly the global
+#   attention restricted to the local shard — and every cross-shard
+#   reduction the gradients need (dx/ds/dt over model, everything over
+#   data) is linear, so the shard_map transpose's automatic psums finish
+#   the job. No hand-written collectives in the backward at all.
 
-    XLA's partitioner cannot split a Pallas custom call on its own, so
-    under plain ``jit`` with a sharded batch the kernel would force a full
-    all-gather. This wrapper runs the kernel per-device via ``shard_map``
-    over the mesh's ``data`` axis with parameters replicated — the
-    shard_map transpose inserts the parameter-gradient ``psum`` over ICI
-    automatically, so training works unchanged. Pattern memories must be
-    replicated here (the Trainer guards the sharded-patterns combination).
-    """
+
+def _attn_tp_merge(x2, k, u, s, t, precision, axis_name):
+    o_s, m_s, l_s = _attn_call_fwd(x2, k, u, s, t, precision)
+    gm = jax.lax.pmax(m_s, axis_name)
+    w = l_s * jnp.exp(m_s - gm)
+    gl = jax.lax.psum(w, axis_name)
+    out = jax.lax.psum(o_s.astype(jnp.float32) * w, axis_name) / gl
+    return out.astype(o_s.dtype), gm, gl
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attn_ln_stream_tp(x2, k, u, s, t, precision, axis_name):
+    """Pattern-sharded streaming lookup: call INSIDE shard_map with ``k``/
+    ``u`` holding this device's pattern slice; returns the exact global
+    attention output (log-sum-exp merge over ``axis_name``)."""
+    out, _, _ = _attn_tp_merge(x2, k, u, s, t, precision, axis_name)
+    return out
+
+
+def _attn_ln_stream_tp_fwd(x2, k, u, s, t, precision, axis_name):
+    out, gm, gl = _attn_tp_merge(x2, k, u, s, t, precision, axis_name)
+    return out, (x2, k, u, s, t, gm, gl, out)
+
+
+def _attn_ln_stream_tp_bwd(precision, axis_name, res, g):
+    # The primal output is model-replicated, so shard_map's transpose
+    # delivers each shard only its FRACTION of the output cotangent;
+    # without collectives of our own, dk/du (model-sharded, no transpose
+    # psum) would come out 1/n_model of the truth. Reassemble the full
+    # cotangent first; then the local backward driven by the GLOBAL stats
+    # is exact: dk/du are complete per shard, and dx/ds/dt per-shard
+    # contributions (linear in the local dq) are summed by the transpose's
+    # automatic model-axis psums.
+    g = jax.lax.psum(g, axis_name)
+    return _attn_ln_stream_bwd(precision, res, g)
+
+
+_attn_ln_stream_tp.defvjp(_attn_ln_stream_tp_fwd, _attn_ln_stream_tp_bwd)
+
+
+def _bottleneck_tp_local(params, x, num_levels, axis_name, precision=None):
+    """Per-device bottleneck over pattern-sharded memories (inside
+    shard_map). Same composition as :func:`_bottleneck_fwd_streaming`, with
+    the TP lookup doing the cross-shard softmax merge."""
+    def lk(folded, inp):
+        k, u, b, s, t = folded
+        *lead, d = inp.shape
+        out = _attn_ln_stream_tp(inp.reshape(-1, d), k, u, s, t, precision, axis_name)
+        return (out + b).reshape(*lead, u.shape[1])
+
+    l1 = _fold_layer(params["hopfield"])
+    l2 = _fold_layer(params["embedding_to_index"])
+    l3 = _fold_layer(params["index_to_embedding"])
+    e = lk(l1, x)
+    idx = jax.nn.sigmoid(lk(l2, e))
+    zq = straight_through_round(idx * (num_levels - 1))
+    zn = zq / (num_levels - 1)
+    r = lk(l3, zn)
+    return e, zq, r
+
+
+def hopfield_bottleneck_pallas_sharded(
+    params: dict,
+    x: jax.Array,
+    num_levels: int,
+    mesh,
+    *,
+    shard_patterns: bool = False,
+    precision=None,
+):
+    """Multi-device bottleneck: batch over ``data``, and (optionally) the
+    pattern memories over ``model`` — see the dispatch comment above."""
     from jax.sharding import PartitionSpec as P
 
-    pspec = jax.tree_util.tree_map(lambda _: P(), params)
+    def leaf_spec(path, _leaf):
+        keys = [getattr(q, "key", getattr(q, "idx", None)) for q in path]
+        if shard_patterns and "lookup_weights" in keys:
+            return P("model", None)
+        return P()
 
-    def fn(p, t):
-        return hopfield_bottleneck_pallas(p, t, num_levels, precision=precision)
+    pspec = jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+    if shard_patterns:
+        def fn(p, t):
+            return _bottleneck_tp_local(p, t, num_levels, "model", precision=precision)
+    else:
+        def fn(p, t):
+            return hopfield_bottleneck_pallas(p, t, num_levels, precision=precision)
 
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(pspec, P("data")), out_specs=P("data"), check_vma=False
     )(params, x)
+
+
+# backward-compatible name for the data-parallel-only wrapper
+def hopfield_bottleneck_pallas_dp(params, x, num_levels, mesh, precision=None):
+    return hopfield_bottleneck_pallas_sharded(
+        params, x, num_levels, mesh, shard_patterns=False, precision=precision
+    )

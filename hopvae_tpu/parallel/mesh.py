@@ -12,9 +12,10 @@ Axes:
 - ``data``  — batch dimension; gradients all-reduce over ICI.
 - ``model`` — optional; shards each Hopfield ``lookup_weights`` (M, d) and
   its value projection over the pattern axis M. Attention over patterns is
-  a *reduction* over M, so XLA turns the per-shard partial softmax stats
-  into an ICI all-reduce (flash-style streaming falls out of the Pallas
-  kernel instead when enabled).
+  a *reduction* over M: on the XLA impl the partial softmax stats become an
+  ICI all-reduce inserted from the shardings; on the Pallas impl the
+  kernel's flash stats are log-sum-exp-merged across shards explicitly
+  (``ops/hopfield_pallas.hopfield_bottleneck_pallas_sharded``).
 
 Everything degrades transparently to a 1-chip mesh (identity shardings).
 """

@@ -71,18 +71,13 @@ class Trainer:
         self.config = config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.shard_patterns = shard_patterns
+        self.watch_gradients = False  # wandb.watch equivalent (grad norms)
         self._train_step = {}  # fit_prior -> compiled fn
         if model.impl == "pallas" and self.mesh.devices.size > 1:
-            if shard_patterns:
-                raise ValueError(
-                    "impl='pallas' with sharded pattern memories is not "
-                    "supported: the kernel's softmax would need a cross-"
-                    "shard merge. Use impl='xla' (XLA inserts the pattern-"
-                    "axis collectives from the shardings) or replicate the "
-                    "patterns (shard_patterns=False)."
-                )
-            # route the bottleneck through shard_map on this mesh
+            # route the bottleneck through shard_map on this mesh; with
+            # shard_patterns the kernel does the cross-shard softmax merge
             model.mesh = self.mesh
+            model.shard_patterns = shard_patterns
 
     # ------------------------------------------------------------- steps
 
@@ -93,15 +88,25 @@ class Trainer:
 
     def train_step(self, fit_prior: bool):
         if fit_prior not in self._train_step:
+            watch = getattr(self, "watch_gradients", False)
 
             @functools.partial(jax.jit, static_argnums=(), donate_argnums=(0, 1))
             def step(params, opt_state, x):
                 (loss, (recon, aux)), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
                 )(params, x, fit_prior)
+                metrics = {"loss": loss, "recon_error": recon, "aux": aux}
+                if watch:
+                    # the reference's wandb.watch(model, log="all")
+                    # (main.py:109) equivalent: global + per-module grad
+                    # norms, fused into the step (stays on device)
+                    metrics["grad_norm"] = optax.global_norm(grads)
+                    for key, sub in grads.items():
+                        if jax.tree_util.tree_leaves(sub):
+                            metrics[f"grad_norm/{key}"] = optax.global_norm(sub)
                 updates, opt_state = self._tx[fit_prior].update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return params, opt_state, {"loss": loss, "recon_error": recon, "aux": aux}
+                return params, opt_state, metrics
 
             self._train_step[fit_prior] = step
         return self._train_step[fit_prior]
@@ -184,6 +189,7 @@ class Trainer:
             # accumulate on device; fetch ONCE per epoch (a per-step float()
             # would sync through the ~29ms-roundtrip tunnel every step)
             epoch_sum = jnp.zeros(())
+            grad_sums = {}
             n_batches = 0
             for bx, _ in iterate_batches(
                 train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
@@ -192,19 +198,22 @@ class Trainer:
                 bx = mesh_lib.shard_batch(self.mesh, bx)
                 params, opt_state, m = step(params, opt_state, bx)
                 epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
+                for k, v in m.items():
+                    if k.startswith("grad_norm"):
+                        grad_sums[k] = grad_sums.get(k, 0.0) + v
                 n_batches += 1
             epoch_sum = float(epoch_sum)
 
-            logger.log(
-                {
-                    # reference metric name + normalization quirk (main.py:41-43)
-                    "Train Reconstruction Error": epoch_sum / len(train_ds),
-                    "train_loss_per_batch": epoch_sum / max(n_batches, 1),
-                    "epoch": epoch,
-                    "fit_prior": fit_prior,
-                },
-                step=epoch,
-            )
+            record = {
+                # reference metric name + normalization quirk (main.py:41-43)
+                "Train Reconstruction Error": epoch_sum / len(train_ds),
+                "train_loss_per_batch": epoch_sum / max(n_batches, 1),
+                "epoch": epoch,
+                "fit_prior": fit_prior,
+            }
+            for k, v in grad_sums.items():
+                record[k] = float(v) / max(n_batches, 1)
+            logger.log(record, step=epoch)
 
             if not epoch % eval_every:
                 self.evaluate(params, test_ds, out_dir=out_dir, epoch=epoch, logger=logger)
@@ -333,6 +342,9 @@ def main(argv=None):
                         help="capture a jax.profiler trace of the run to <out>/trace")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (dev aid, SURVEY.md §5.2)")
+    parser.add_argument("--watch-grads", action="store_true",
+                        help="log global + per-module gradient norms per epoch "
+                             "(the reference's wandb.watch equivalent)")
     args = parser.parse_args(argv)
 
     if args.debug_nans:
@@ -367,6 +379,7 @@ def main(argv=None):
 
     train_ds, _val_ds, test_ds = get_datasets(config, args.data)
     trainer = Trainer(model, config)
+    trainer.watch_gradients = args.watch_grads
 
     if args.eval_only:
         err = trainer.evaluate(params, test_ds, out_dir=args.out, epoch=0)

@@ -212,13 +212,68 @@ def test_pallas_sharded_matches_single_device():
     assert results[0][1] == pytest.approx(results[1][1], rel=2e-5)
 
 
-def test_pallas_with_sharded_patterns_is_rejected():
-    """The unsupported combination must fail loudly at Trainer construction,
-    not silently replicate or mis-shard (ADVICE r1 #1)."""
+def test_pallas_pattern_sharded_matches_single_device():
+    """impl='pallas' + shard_patterns: the pattern memories live M/n_model
+    per device and the kernel's flash stats are log-sum-exp-merged across
+    the model axis. A train step on a (2 data, 2 model) mesh must equal the
+    single-device pallas step — forward merge, backward (same kernels fed
+    the global stats), and every transpose-inserted psum. M=96 on 2 shards
+    exercises the per-shard padding + masking path too."""
+    from jax.experimental.pallas import tpu as pltpu
+
     assert jax.device_count() >= 8
-    cfg = _tiny_cfg(batch=16)
+    cfg = _tiny_cfg(batch=8)
+    cfg.num_embeddings = 96  # 48 per shard -> padded, masked blocks
+    cfg.num_hiddens = 32
     model = HopVAE(cfg, impl="pallas")
-    mesh = mesh_lib.make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
-    with pytest.raises(ValueError, match="sharded pattern"):
-        Trainer(model, cfg, mesh=mesh, shard_patterns=True)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 28, 28, 1), dtype=np.float32)
+
+    results = []
+    with pltpu.force_tpu_interpret_mode():
+        for devs, n_model, shard in (
+            (jax.devices()[:1], 1, False),
+            (jax.devices()[:4], 2, True),
+        ):
+            model.mesh = None
+            model.shard_patterns = False
+            mesh = mesh_lib.make_mesh(
+                n_data=len(devs) // n_model, n_model=n_model, devices=devs
+            )
+            tr = Trainer(model, cfg, mesh=mesh, shard_patterns=shard)
+            tr._tx = {False: make_optimizer(cfg, 1, prior_only=False, params=params)}
+            p = mesh_lib.shard_params(mesh, jax.device_get(params), shard_patterns=shard)
+            opt = tr._tx[False].init(p)
+            bx = mesh_lib.shard_batch(mesh, jnp.asarray(x))
+            p, opt, m = tr.train_step(False)(p, opt, bx)
+            results.append(
+                (jax.device_get(p["hopfield"]["lookup_weights"]), float(m["loss"]))
+            )
     model.mesh = None
+    model.shard_patterns = False
+
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5, atol=1e-6)
+    assert results[0][1] == pytest.approx(results[1][1], rel=2e-5)
+
+
+def test_watch_gradients_logs_norms(tmp_path):
+    """watch_gradients (the reference's wandb.watch equivalent,
+    main.py:109) must log a global grad norm plus per-module norms."""
+    cfg = _tiny_cfg()
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    train_ds, _, test_ds = get_datasets(cfg, None)
+    train_ds.images, train_ds.labels = train_ds.images[:32], train_ds.labels[:32]
+    test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+
+    tr = Trainer(model, cfg)
+    tr.watch_gradients = True
+    tr.fit(params, train_ds, test_ds, epochs=1, out_dir=str(tmp_path))
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    rec = next(l for l in lines if "grad_norm" in l)
+    assert rec["grad_norm"] > 0
+    assert rec["grad_norm/encoder"] > 0
+    assert rec["grad_norm/decoder"] > 0
+    # dead post_vq_conv gets zero grads; prior is parameterless here
+    assert rec["grad_norm/post_vq_conv"] == 0.0
