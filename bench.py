@@ -222,9 +222,20 @@ def main():
     )
     ref_out = jax.jit(lambda p, t: hopfield_bottleneck_xla(p, t, cfg.num_levels))(bparams, tok)
     pal_out = jax.jit(lambda p, t: hopfield_bottleneck_pallas(p, t, cfg.num_levels, precision=hi))(bparams, tok)
-    fwd_err = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(pal_out, ref_out))
+    # gate on the pre-quantizer retrieval; zq can legitimately flip a bin
+    # when a sigmoid output sits within float noise of a rounding boundary
+    # (summation order differs), and r inherits any flip — report those
+    # separately, gate r only when no bin flipped
+    fwd_err = float(jnp.max(jnp.abs(pal_out[0] - ref_out[0])))
+    zq_flips = int(jnp.sum(pal_out[1] != ref_out[1]))
     details["pallas_hw_fwd_max_abs_err_f32"] = fwd_err
+    details["pallas_hw_zq_bin_flips"] = zq_flips
     assert fwd_err < 1e-5, f"on-hardware forward numerics gate failed: {fwd_err}"
+    assert zq_flips <= 4, f"quantizer disagreement beyond boundary noise: {zq_flips}"
+    if zq_flips == 0:
+        r_err = float(jnp.max(jnp.abs(pal_out[2] - ref_out[2])))
+        details["pallas_hw_roundtrip_max_abs_err_f32"] = r_err
+        assert r_err < 1e-5, f"round-trip numerics gate failed: {r_err}"
 
     def _bn_loss(impl_fn):
         def f(p, t):

@@ -19,9 +19,11 @@ CONFIG="${4:-ffhq_64}"
 
 gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all --command "
   cd ~/hopvae-tpu &&
-  python -m hopvae_tpu.train \
+  HOPVAE_MULTIHOST=1 python -m hopvae_tpu.train \
     --config ${CONFIG} \
     --data ${DATA} \
     --out outputs/${CONFIG} \
     --impl pallas --compute-dtype bfloat16
 "
+# HOPVAE_MULTIHOST=1 triggers jax.distributed.initialize() (auto-detected
+# coordinator on TPU VMs) so the (data, model) mesh spans the whole slice.

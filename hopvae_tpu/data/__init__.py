@@ -305,29 +305,47 @@ def get_datasets(config, path: str | None, *, streaming: bool | None = None):
 
 def _prefetched(gen, depth: int):
     """Run ``gen`` on a daemon thread, keeping ``depth`` batches ready —
-    host IO (file reads, decode, normalize) overlaps device compute."""
+    host IO (file reads, decode, normalize) overlaps device compute.
+
+    The worker's puts poll a stop event so an abandoned consumer (an
+    exception mid-epoch, a break, GC of the generator) releases the thread
+    and its in-flight decoded batches instead of leaking them."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def iterate_batches(

@@ -14,10 +14,14 @@ Two implementations with one contract:
 
 - ``impl="xla"``: pure-jnp reference (ops/hopfield.py lookups), fully
   differentiable, the parity anchor.
-- ``impl="pallas"``: the fused TPU kernel (ops/hopfield_pallas.py) — one
-  VMEM-resident pass per token block over all three attentions, wrapped
-  in ``custom_vjp`` whose backward recomputes through the jnp reference
-  (forward speed where it matters; exact reference gradients).
+- ``impl="pallas"``: the streaming TPU kernels (ops/hopfield_pallas.py) —
+  flash-style forward emitting softmax row stats, plus a fused Pallas
+  backward that rebuilds the attention tile-by-tile from those stats (the
+  (N, M) attention matrix never touches HBM in either direction). This is
+  the production path for BOTH inference and training; gradients match
+  the jnp reference to float-summation order (exact at
+  ``Precision.HIGHEST`` — see tests/test_pallas.py and the bench-time
+  on-hardware gates).
 """
 
 from __future__ import annotations

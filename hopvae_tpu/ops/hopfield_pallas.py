@@ -691,13 +691,18 @@ def hopfield_bottleneck_pallas_sharded(
         def fn(p, t):
             return hopfield_bottleneck_pallas(p, t, num_levels, precision=precision)
 
-    return jax.shard_map(
+    # shard_map needs the batch divisible by the data axis; eval sweeps hit
+    # partial final batches, so pad up and slice back (the pad's VJP is a
+    # slice — gradients unaffected)
+    n = x.shape[0]
+    n_data = mesh.shape["data"]
+    pad = (-n) % n_data
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    out = jax.shard_map(
         fn, mesh=mesh, in_specs=(pspec, P("data")), out_specs=P("data"), check_vma=False
     )(params, x)
-
-
-# backward-compatible name for the data-parallel-only wrapper
-def hopfield_bottleneck_pallas_dp(params, x, num_levels, mesh, precision=None):
-    return hopfield_bottleneck_pallas_sharded(
-        params, x, num_levels, mesh, shard_patterns=False, precision=precision
-    )
+    if pad:
+        out = tuple(a[:n] for a in out)
+    return out

@@ -73,11 +73,12 @@ class Trainer:
         self.shard_patterns = shard_patterns
         self.watch_gradients = False  # wandb.watch equivalent (grad norms)
         self._train_step = {}  # fit_prior -> compiled fn
-        if model.impl == "pallas" and self.mesh.devices.size > 1:
-            # route the bottleneck through shard_map on this mesh; with
-            # shard_patterns the kernel does the cross-shard softmax merge
-            model.mesh = self.mesh
-            model.shard_patterns = shard_patterns
+        # (re)set the model's shard_map routing unconditionally: a model
+        # previously owned by a multi-device Trainer must not keep routing
+        # through a stale mesh when reused single-device
+        multi = model.impl == "pallas" and self.mesh.devices.size > 1
+        model.mesh = self.mesh if multi else None
+        model.shard_patterns = shard_patterns if multi else False
 
     # ------------------------------------------------------------- steps
 
@@ -224,6 +225,17 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
 
+    @staticmethod
+    def _fetch(arr) -> np.ndarray:
+        """Device array → host numpy, multi-host safe: a global array
+        sharded across processes spans non-addressable devices, so gather
+        it first (single-process: plain fetch, zero overhead)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
     def evaluate(self, params, test_ds, *, out_dir, epoch, logger=None, n_sample_images: int = 16):
         cfg = self.config
         total = 0.0
@@ -234,16 +246,16 @@ class Trainer:
             total += float(mse)
             if len(first_batches) < 2:
                 first_batches.append(bx)
-            last = (bx, np.asarray(x_recon))
+            last = (bx, self._fetch(x_recon))
 
         # interpolation of the first two test batches (main.py:53-58,69)
         inter = None
         if len(first_batches) == 2 and first_batches[0].shape == first_batches[1].shape:
-            inter = np.asarray(
+            inter = self._fetch(
                 self.interpolate_fn(params, first_batches[1], first_batches[0])
             )
 
-        samples = np.asarray(
+        samples = self._fetch(
             self.sample_fn(params, jax.random.PRNGKey(cfg.seed + epoch), n_sample_images)
         )
 
@@ -346,6 +358,13 @@ def main(argv=None):
                         help="log global + per-module gradient norms per epoch "
                              "(the reference's wandb.watch equivalent)")
     args = parser.parse_args(argv)
+
+    if os.environ.get("HOPVAE_MULTIHOST") == "1":
+        # multi-host TPU slice (deploy/tpu_job.sh exports this on every
+        # worker): auto-detecting initialize makes jax.devices() span the
+        # whole slice, so the mesh/shardings below scale across hosts with
+        # no other change. Single-host runs (no env) skip this entirely.
+        jax.distributed.initialize()
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
