@@ -140,7 +140,9 @@ def main():
     details["ffhq64_recon_images_per_sec_tpu_f32"] = batch / dt
 
     bmodel = HopVAE(cfg, impl="pallas", compute_dtype=jnp.bfloat16)
-    dt = device_seconds_per_iter(lambda s: bmodel.forward(params, s)[0], x)
+    dt = device_seconds_per_iter(
+        lambda s: bmodel.forward(params, s)[0], x, iters=30, repeats=4
+    )
     tpu_ips = batch / dt
     details["ffhq64_recon_images_per_sec_tpu"] = tpu_ips
     details["ffhq64_recon_batch"] = batch
@@ -160,6 +162,32 @@ def main():
             lambda s: smodel.forward(sparams, s)[0], x, iters=10
         )
         details[f"ffhq64_scaled_recon_images_per_sec_{name}"] = batch / dt
+
+    # ---- side: FFHQ-128 (33×33 latent grid, 4096 patterns) --------------
+    # scale-up config with no reference counterpart: 1089 tokens against
+    # the scaled memory — the streaming kernel's token-grid regime
+    lcfg = load_config("ffhq_128")
+    lbatch = 64
+    lmodel = HopVAE(lcfg, impl="pallas", compute_dtype=jnp.bfloat16)
+    lparams = lmodel.init(jax.random.PRNGKey(0))
+    lx = jnp.asarray(
+        np.random.default_rng(2).standard_normal((lbatch, 128, 128, 3), np.float32)
+    )
+    dt = device_seconds_per_iter(lambda s: lmodel.forward(lparams, s)[0], lx, iters=10)
+    details["ffhq128_recon_images_per_sec_tpu"] = lbatch / dt
+    details["ffhq128_recon_batch"] = lbatch
+
+    # ---- side: serving latency (batch 1, production path) ---------------
+    # device time per single-image reconstruction — the latency-critical
+    # serving shape (InferenceEngine with max_batch=1); wall latency here
+    # additionally pays the tunnel's ~30 ms roundtrip, an environment
+    # artifact excluded by the chained-loop harness
+    # batch-1 steps are ~0.1 ms — need many chained iters for the slope to
+    # rise above the tunnel's ms-scale timing jitter
+    dt1 = device_seconds_per_iter(
+        lambda s: bmodel.forward(params, s)[0], x[:1], iters=500, repeats=3
+    )
+    details["ffhq64_recon_batch1_device_latency_ms"] = dt1 * 1e3
 
     # ---- side: FFHQ-64 train step -----------------------------------------
     # production = impl="pallas" + bf16: the fused Pallas backward (flash-
@@ -278,32 +306,39 @@ def main():
     pparams = pmodel.init(jax.random.PRNGKey(0))
     n_samp = 1024  # throughput metric: big-batch serving scenario (BASELINE.md)
 
-    sample_fn = jax.jit(lambda k: jnp.sum(pmodel.sample(pparams, k, n_samp)))
-    float(sample_fn(jax.random.PRNGKey(0)))  # compile (slow cold; cached after)
-    # tunnel roundtrip overhead: fetching a trivial jitted scalar
+    # device-true timing: chain sampler applications by folding the drawn
+    # samples back into the key — wall-minus-roundtrip timing of single
+    # calls varied ±40% between runs on the tunneled backend
+    def _sampler_step(sample_fn):
+        def step(k):
+            s = sample_fn(k)
+            return jax.random.fold_in(k, jnp.sum(s).astype(jnp.int32))
+
+        return step
+
+    # tunnel roundtrip overhead, recorded for context
     trivial = jax.jit(lambda k: jnp.sum(k))
     float(trivial(jax.random.PRNGKey(0)))
-    rt = min(
+    details["tunnel_roundtrip_sec"] = min(
         _walltime(lambda: float(trivial(jax.random.PRNGKey(i)))) for i in range(3)
     )
-    dt = min(
-        _walltime(lambda: float(sample_fn(jax.random.PRNGKey(i)))) for i in range(1, 4)
+    dt = device_seconds_per_iter(
+        _sampler_step(lambda k: pmodel.sample(pparams, k, n_samp)),
+        jax.random.PRNGKey(0),
+        iters=5,
     )
-    details["tunnel_roundtrip_sec"] = rt
-    details["pixelcnn_samples_per_sec_tpu"] = n_samp / max(dt - rt, 1e-9)
+    details["pixelcnn_samples_per_sec_tpu"] = n_samp / dt
 
     # scaled-config AR sampling (r=17, 4096-level prior grid): the
     # column-incremental sampler's headline (VERDICT r1 #6)
     sprior_params = smodel.init(jax.random.PRNGKey(0))["prior"]
     s_n = 1024
-    ssample = jax.jit(
-        lambda k: jnp.sum(smodel.prior.sample(sprior_params, k, s_n))
+    sdt = device_seconds_per_iter(
+        _sampler_step(lambda k: smodel.prior.sample(sprior_params, k, s_n)),
+        jax.random.PRNGKey(0),
+        iters=3,
     )
-    float(ssample(jax.random.PRNGKey(0)))
-    sdt = min(
-        _walltime(lambda: float(ssample(jax.random.PRNGKey(i)))) for i in range(1, 3)
-    )
-    details["ffhq64_scaled_ar_samples_per_sec"] = s_n / max(sdt - rt, 1e-9)
+    details["ffhq64_scaled_ar_samples_per_sec"] = s_n / sdt
     details["ffhq64_scaled_ar_sample_batch"] = s_n
 
     # ---- MFU / roofline accounting (analytic FLOPs model, utils/flops.py)
@@ -321,6 +356,9 @@ def main():
     )
     details["ffhq64_scaled_train_mfu"] = fl.mfu(
         strn_fl, details["ffhq64_scaled_train_images_per_sec_bf16_pallas"]
+    )
+    details["ffhq128_recon_mfu"] = fl.mfu(
+        fl.forward_flops_per_image(lcfg), details["ffhq128_recon_images_per_sec_tpu"]
     )
     # roofline side: the scaled bottleneck's table traffic (f32 tables) —
     # fraction of HBM peak consumed if the kernel were purely memory-bound

@@ -16,6 +16,7 @@ _REGISTRY = (
     "ffhq_32",
     "ffhq_64",
     "ffhq_64_scaled",
+    "ffhq_128",
 )
 
 

@@ -78,8 +78,8 @@ def test_conv_transpose2d_matches_torch(in_ch, out_ch, k, s, p, h):
 
 def test_encoder_decoder_spatial_inverse():
     """Encoder spatial map H→H/4+1 and decoder inverse, per config geometry
-    (SURVEY.md §2.3/§2.4): 28→8→28, 32→9→32, 64→17→64."""
-    for h, rep in [(28, 8), (32, 9), (64, 17)]:
+    (SURVEY.md §2.3/§2.4): 28→8→28, 32→9→32, 64→17→64, 128→33→128."""
+    for h, rep in [(28, 8), (32, 9), (64, 17), (128, 33)]:
         e = h
         for k, s, p in [(4, 2, 1), (4, 2, 1), (4, 1, 2), (3, 1, 1)]:
             e = (e + 2 * p - k) // s + 1
