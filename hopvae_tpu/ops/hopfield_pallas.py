@@ -32,6 +32,16 @@ for free. The forward kernel emits flash-style softmax row stats
 probabilities blockwise from those stats, so the (N, M) attention matrix
 never touches HBM in either direction — the reason this path beats XLA
 autodiff (which materializes softmax outputs as residuals) for training.
+
+Measured dead end (1× v5e, 2026-08-16): fusing the two backward kernels
+into one pass — whether with VMEM-resident full dK/dU accumulators
+(token-major grid) or with per-pattern-block dq partials reduced in XLA
+(pattern-major grid) — is SLOWER at every M (e.g. lookup-1 fwd+bwd at
+M=4096: 10.9 ms split vs 13-14.5 ms fused) despite doing 5 big matmuls
+instead of 7. The split kernels pipeline better, and the backward is
+partly VPU-bound (exp + the dsc elementwise chain over (256, M-block)
+tiles), so saving matmul recomputes doesn't pay. Don't re-attempt without
+a scheduling-level reason.
 """
 
 from __future__ import annotations
