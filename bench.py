@@ -237,6 +237,24 @@ def main():
         dt = device_seconds_per_iter(strain_step, (ssparams, tx.init(ssparams)), iters=10)
         details[f"ffhq64_scaled_train_images_per_sec_bf16_{name}"] = batch / dt
 
+    # FFHQ-128 train step (scale-up config, production path): 1089 tokens
+    # against the 4096-pattern memory — the fused backward's token-grid regime
+    ltmodel = HopVAE(lcfg, impl="pallas", compute_dtype=jnp.bfloat16)
+
+    def ltrain_step(state):
+        p, o = state
+
+        def loss_fn(p):
+            xr, aux = ltmodel.forward(p, lx)
+            return jnp.mean((xr - lx) ** 2) + aux
+
+        _, g = jax.value_and_grad(loss_fn)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o
+
+    dt = device_seconds_per_iter(ltrain_step, (lparams, tx.init(lparams)), iters=5)
+    details["ffhq128_train_images_per_sec_bf16_pallas"] = lbatch / dt
+
     # ---- on-hardware kernel numerics gate (VERDICT r1 #4) ----------------
     # streaming Pallas vs XLA reference at f32 HIGHEST on the REAL chip —
     # Mosaic tiling/masking must be exact, not just interpreter-exact.
@@ -359,6 +377,9 @@ def main():
     )
     details["ffhq128_recon_mfu"] = fl.mfu(
         fl.forward_flops_per_image(lcfg), details["ffhq128_recon_images_per_sec_tpu"]
+    )
+    details["ffhq128_train_mfu"] = fl.mfu(
+        fl.train_flops_per_image(lcfg), details["ffhq128_train_images_per_sec_bf16_pallas"]
     )
     # roofline side: the scaled bottleneck's table traffic (f32 tables) —
     # fraction of HBM peak consumed if the kernel were purely memory-bound

@@ -17,7 +17,15 @@ ZONE="${2:?zone}"
 DATA="${3:?data path}"
 CONFIG="${4:-ffhq_64}"
 
-gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all --command "
+# DRY_RUN=1 prints the launch command instead of executing it (no gcloud /
+# no cluster needed) — lets tests/test_deploy.py execute this script
+# end-to-end rather than only syntax-checking it.
+GCLOUD="gcloud"
+if [[ "${DRY_RUN:-0}" == "1" ]]; then
+  GCLOUD="echo gcloud"
+fi
+
+${GCLOUD} compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all --command "
   cd ~/hopvae-tpu &&
   HOPVAE_MULTIHOST=1 python -m hopvae_tpu.train \
     --config ${CONFIG} \
