@@ -158,8 +158,10 @@ def main():
     ):
         smodel = HopVAE(scfg, impl=impl, compute_dtype=sdt)
         sparams = smodel.init(jax.random.PRNGKey(0))
+        # repeats=5: the scaled-config numbers are the noisiest on the
+        # tunneled chip (94k-126k img/s across bench runs at repeats=2)
         dt = device_seconds_per_iter(
-            lambda s: smodel.forward(sparams, s)[0], x, iters=10
+            lambda s: smodel.forward(sparams, s)[0], x, iters=10, repeats=5
         )
         details[f"ffhq64_scaled_recon_images_per_sec_{name}"] = batch / dt
 
@@ -234,7 +236,9 @@ def main():
             u, o = tx.update(g, o, p)
             return optax.apply_updates(p, u), o
 
-        dt = device_seconds_per_iter(strain_step, (ssparams, tx.init(ssparams)), iters=10)
+        dt = device_seconds_per_iter(
+            strain_step, (ssparams, tx.init(ssparams)), iters=10, repeats=5
+        )
         details[f"ffhq64_scaled_train_images_per_sec_bf16_{name}"] = batch / dt
 
     # FFHQ-128 train step (scale-up config, production path): 1089 tokens
@@ -252,7 +256,7 @@ def main():
         u, o = tx.update(g, o, p)
         return optax.apply_updates(p, u), o
 
-    dt = device_seconds_per_iter(ltrain_step, (lparams, tx.init(lparams)), iters=5)
+    dt = device_seconds_per_iter(ltrain_step, (lparams, tx.init(lparams)), iters=5, repeats=4)
     details["ffhq128_train_images_per_sec_bf16_pallas"] = lbatch / dt
 
     # ---- on-hardware kernel numerics gate (VERDICT r1 #4) ----------------

@@ -44,6 +44,19 @@ from hopvae_tpu.utils import checkpoint as ckpt_lib
 from hopvae_tpu.utils.metrics import MetricLogger, denormalize, save_image_grid
 
 
+# histogram convention for --watch-grads (wandb.watch(log="all") logs
+# weight+grad histograms, main.py:109): 16 unit-width bins over
+# log10|value| in [-12, 4) — covers denormal-adjacent through huge
+HIST_BINS = 16
+HIST_RANGE = (-12.0, 4.0)
+
+
+def _log_magnitude_histogram(leaves) -> jnp.ndarray:
+    """(16,) int32 histogram of log10|x| over a list of arrays (jittable)."""
+    flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
+    return jnp.histogram(jnp.log10(jnp.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE)[0]
+
+
 def make_optimizer(config, steps_per_epoch: int, *, prior_only: bool, params) -> optax.GradientTransformation:
     """Adam + per-epoch exponential decay; optionally masked to the prior
     subtree (the reference's phase-2 optimiser swap)."""
@@ -100,11 +113,14 @@ class Trainer:
                 if watch:
                     # the reference's wandb.watch(model, log="all")
                     # (main.py:109) equivalent: global + per-module grad
-                    # norms, fused into the step (stays on device)
+                    # norms and log-magnitude histograms, fused into the
+                    # step (stays on device; fetched once per epoch)
                     metrics["grad_norm"] = optax.global_norm(grads)
                     for key, sub in grads.items():
-                        if jax.tree_util.tree_leaves(sub):
+                        leaves = jax.tree_util.tree_leaves(sub)
+                        if leaves:
                             metrics[f"grad_norm/{key}"] = optax.global_norm(sub)
+                            metrics[f"grad_hist/{key}"] = _log_magnitude_histogram(leaves)
                 updates, opt_state = self._tx[fit_prior].update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, metrics
@@ -200,7 +216,7 @@ class Trainer:
                 params, opt_state, m = step(params, opt_state, bx)
                 epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
                 for k, v in m.items():
-                    if k.startswith("grad_norm"):
+                    if k.startswith(("grad_norm", "grad_hist")):
                         grad_sums[k] = grad_sums.get(k, 0.0) + v
                 n_batches += 1
             epoch_sum = float(epoch_sum)
@@ -213,7 +229,23 @@ class Trainer:
                 "fit_prior": fit_prior,
             }
             for k, v in grad_sums.items():
-                record[k] = float(v) / max(n_batches, 1)
+                if k.startswith("grad_hist"):
+                    # summed counts across the epoch's steps
+                    record[k] = np.asarray(v).astype(int).tolist()
+                else:
+                    record[k] = float(v) / max(n_batches, 1)
+            if self.watch_gradients:
+                # wandb.watch(log="all") also histograms the weights; once
+                # per epoch on host (params ≈ 1.5 MB — one cheap fetch)
+                for key, sub in params.items():
+                    leaves = jax.tree_util.tree_leaves(sub)
+                    if leaves:
+                        flat = np.concatenate(
+                            [np.ravel(self._fetch(l)).astype(np.float32) for l in leaves]
+                        )
+                        record[f"param_hist/{key}"] = np.histogram(
+                            np.log10(np.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE
+                        )[0].tolist()
             logger.log(record, step=epoch)
 
             if not epoch % eval_every:
@@ -355,8 +387,9 @@ def main(argv=None):
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (dev aid, SURVEY.md §5.2)")
     parser.add_argument("--watch-grads", action="store_true",
-                        help="log global + per-module gradient norms per epoch "
-                             "(the reference's wandb.watch equivalent)")
+                        help="log global + per-module gradient norms and "
+                             "grad/param log-magnitude histograms per epoch "
+                             "(the reference's wandb.watch(log='all') equivalent)")
     args = parser.parse_args(argv)
 
     if os.environ.get("HOPVAE_MULTIHOST") == "1":

@@ -257,12 +257,18 @@ def test_pallas_pattern_sharded_matches_single_device():
     assert results[0][1] == pytest.approx(results[1][1], rel=2e-5)
 
 
-def test_watch_gradients_logs_norms(tmp_path):
-    """watch_gradients (the reference's wandb.watch equivalent,
-    main.py:109) must log a global grad norm plus per-module norms."""
+def test_watch_gradients_logs_norms_and_histograms(tmp_path):
+    """watch_gradients (the reference's wandb.watch(log='all') equivalent,
+    main.py:109) must log a global grad norm, per-module norms, and
+    grad/param log-magnitude histograms."""
+    from hopvae_tpu.train import HIST_BINS
+
     cfg = _tiny_cfg()
     model = HopVAE(cfg)
     params = model.init(jax.random.PRNGKey(0))
+    n_enc_grads = sum(
+        np.size(l) for l in jax.tree_util.tree_leaves(params["encoder"])
+    )
     train_ds, _, test_ds = get_datasets(cfg, None)
     train_ds.images, train_ds.labels = train_ds.images[:32], train_ds.labels[:32]
     test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
@@ -277,6 +283,13 @@ def test_watch_gradients_logs_norms(tmp_path):
     assert rec["grad_norm/decoder"] > 0
     # dead post_vq_conv gets zero grads; prior is parameterless here
     assert rec["grad_norm/post_vq_conv"] == 0.0
+    # histograms: counts sum to n_values x n_steps (grads) / n_values (params)
+    n_steps = 32 // cfg.batch_size
+    assert len(rec["grad_hist/encoder"]) == HIST_BINS
+    assert sum(rec["grad_hist/encoder"]) == n_enc_grads * n_steps
+    assert sum(rec["param_hist/encoder"]) == n_enc_grads
+    # a zero-grad module piles all counts into the bottom (log10≈-12) bin
+    assert rec["grad_hist/post_vq_conv"][0] == sum(rec["grad_hist/post_vq_conv"])
 
 
 def test_pallas_sharded_handles_partial_batches():
