@@ -33,6 +33,15 @@ probabilities blockwise from those stats, so the (N, M) attention matrix
 never touches HBM in either direction — the reason this path beats XLA
 autodiff (which materializes softmax outputs as residuals) for training.
 
+Token blocking (swept 1× v5e, 2026-08-16): the INFERENCE forward picks its
+token block adaptively (``_fwd_token_block_for``) — at M=512 growing the
+block 256→1024 roughly halves the lookup time (per-grid-step overhead
+dominates small-memory tiles; +12% end-to-end recon). Inside a
+differentiated graph the VJP forward pins ``TOKEN_BLOCK`` instead: its
+padding then matches the backward kernels, and the oversized block
+measured ~6% slower end-to-end there (extra pad/slice traffic against
+the 256-blocked backward).
+
 Measured dead end (1× v5e, 2026-08-16): fusing the two backward kernels
 into one pass — whether with VMEM-resident full dK/dU accumulators
 (token-major grid) or with per-pattern-block dq partials reduced in XLA
@@ -210,6 +219,26 @@ def _pattern_block_for(m: int) -> int:
     return min(PATTERN_BLOCK, -(-m // 256) * 256)
 
 
+def _fwd_token_block_for(n: int, pattern_block: int) -> int:
+    """Token block for the FORWARD streaming kernel only.
+
+    At small memories the per-grid-step overhead dominates (M=512:
+    289 steps of (256,64)@(64,512) measure 0.50 ms where 73 steps of
+    (1024,64)@(64,512) measure 0.26 ms — swept on 1× v5e, 2026-08-16), so
+    grow the block while (a) the (TB, PB) f32 scores tile stays within a
+    2 MB budget — at PB=2048 (M ≥ 2048) this keeps TB=256, where measured
+    differences were inside run-to-run noise, and stays far from the
+    scoped-VMEM OOM hit at 1024×2048 — and (b) the block doesn't exceed
+    the real token count (serving batch-1 is 289 tokens — padding to 1024
+    would quadruple its work). The two backward kernels keep TOKEN_BLOCK:
+    their per-step work is ~3× the forward's, and TB=256 measured fastest
+    (M=512) or noise-equal (M=4096)."""
+    tb = TOKEN_BLOCK
+    while tb < 1024 and tb < n and tb * 2 * pattern_block * 4 <= (2 << 20):
+        tb *= 2
+    return tb
+
+
 def _ln_parts(x, d: int):
     """LayerNorm pieces over the (unpadded) last-axis width ``d``."""
     mean = jnp.sum(x, axis=-1, keepdims=True) / d
@@ -364,21 +393,29 @@ def _stream_bwd_dku_kernel(
     )
 
 
-def _pad_tokens(arr, n: int, value: float = 0.0):
-    pad = (-n) % TOKEN_BLOCK
+def _pad_tokens(arr, n: int, value: float = 0.0, block: int = None):
+    pad = (-n) % (block or TOKEN_BLOCK)
     if not pad:
         return arr
     return jnp.pad(arr, ((0, pad), (0, 0)), constant_values=value)
 
 
-def _attn_call_fwd(x2, k, u, s, t, precision):
+def _attn_call_fwd(x2, k, u, s, t, precision, token_block=None):
     """pallas_call plumbing for the forward: returns (out, m_stat, l_stat),
-    all sliced back to the unpadded token count."""
+    all sliced back to the unpadded token count.
+
+    ``token_block=None`` picks the adaptive (inference) block; the VJP
+    forward pins ``TOKEN_BLOCK`` so its padding matches the backward
+    kernels — an oversized fwd block inside a differentiated graph
+    measured ~6% slower end-to-end (extra pad/slice traffic between the
+    fwd outputs/residuals and the 256-blocked backward)."""
     n, d = x2.shape
     m, d_out = k.shape[0], u.shape[1]
-    xt = _pad_tokens(x2, n)
-    n_pad = xt.shape[0]
     pattern_block = _pattern_block_for(m)
+    if token_block is None:
+        token_block = _fwd_token_block_for(n, pattern_block)
+    xt = _pad_tokens(x2, n, block=token_block)
+    n_pad = xt.shape[0]
     m_pad = (-m) % pattern_block
     if m_pad:
         k = jnp.pad(k, ((0, m_pad), (0, 0)))
@@ -390,18 +427,18 @@ def _attn_call_fwd(x2, k, u, s, t, precision):
             _stream_fwd_kernel, d=d, beta=1.0 / (d**0.5),
             precision=precision, m_actual=m,
         ),
-        grid=(n_pad // TOKEN_BLOCK, n_m),
+        grid=(n_pad // token_block, n_m),
         in_specs=[
-            pl.BlockSpec((TOKEN_BLOCK, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((token_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((pattern_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((pattern_block, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TOKEN_BLOCK, d_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TOKEN_BLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TOKEN_BLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((token_block, d_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((token_block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((token_block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, d_out), x2.dtype),
@@ -409,9 +446,9 @@ def _attn_call_fwd(x2, k, u, s, t, precision):
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TOKEN_BLOCK, d_out), jnp.float32),
-            pltpu.VMEM((TOKEN_BLOCK, 1), jnp.float32),
-            pltpu.VMEM((TOKEN_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((token_block, d_out), jnp.float32),
+            pltpu.VMEM((token_block, 1), jnp.float32),
+            pltpu.VMEM((token_block, 1), jnp.float32),
         ],
     )(xt, k, u, s[None, :], t[None, :])
 
@@ -430,7 +467,9 @@ def _attn_ln_stream(x2, k, u, s, t, precision):
 
 
 def _attn_ln_stream_fwd(x2, k, u, s, t, precision):
-    out, m_stat, l_stat = _attn_call_fwd(x2, k, u, s, t, precision)
+    out, m_stat, l_stat = _attn_call_fwd(
+        x2, k, u, s, t, precision, token_block=TOKEN_BLOCK
+    )
     return out, (x2, k, u, s, t, m_stat, l_stat, out)
 
 
