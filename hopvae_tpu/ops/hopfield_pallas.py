@@ -228,13 +228,20 @@ def _fwd_token_block_for(n: int, pattern_block: int) -> int:
     grow the block while (a) the (TB, PB) f32 scores tile stays within a
     2 MB budget — at PB=2048 (M ≥ 2048) this keeps TB=256, where measured
     differences were inside run-to-run noise, and stays far from the
-    scoped-VMEM OOM hit at 1024×2048 — and (b) the block doesn't exceed
-    the real token count (serving batch-1 is 289 tokens — padding to 1024
-    would quadruple its work). The two backward kernels keep TOKEN_BLOCK:
-    their per-step work is ~3× the forward's, and TB=256 measured fastest
-    (M=512) or noise-equal (M=4096)."""
+    scoped-VMEM OOM hit at 1024×2048 — and (b) doubling doesn't inflate
+    the padded total beyond 1.25× the real token count (serving batch-2 is
+    578 tokens — padding to 1024 would near-double its work), unless the
+    padded total doesn't grow at all (289 tokens pad to 512 either way —
+    one 512-step beats two 256-steps). The two backward kernels keep
+    TOKEN_BLOCK: their per-step work is ~3× the forward's, and TB=256
+    measured fastest (M=512) or noise-equal (M=4096)."""
+    padded = lambda b: -(-n // b) * b
     tb = TOKEN_BLOCK
-    while tb < 1024 and tb < n and tb * 2 * pattern_block * 4 <= (2 << 20):
+    while (
+        tb < 1024
+        and tb * 2 * pattern_block * 4 <= (2 << 20)
+        and padded(tb * 2) <= max(n + n // 4, padded(tb))
+    ):
         tb *= 2
     return tb
 
@@ -652,8 +659,8 @@ def hopfield_bottleneck_pallas(
 #   the job. No hand-written collectives in the backward at all.
 
 
-def _attn_tp_merge(x2, k, u, s, t, precision, axis_name):
-    o_s, m_s, l_s = _attn_call_fwd(x2, k, u, s, t, precision)
+def _attn_tp_merge(x2, k, u, s, t, precision, axis_name, token_block=None):
+    o_s, m_s, l_s = _attn_call_fwd(x2, k, u, s, t, precision, token_block=token_block)
     gm = jax.lax.pmax(m_s, axis_name)
     w = l_s * jnp.exp(m_s - gm)
     gl = jax.lax.psum(w, axis_name)
@@ -671,7 +678,12 @@ def _attn_ln_stream_tp(x2, k, u, s, t, precision, axis_name):
 
 
 def _attn_ln_stream_tp_fwd(x2, k, u, s, t, precision, axis_name):
-    out, gm, gl = _attn_tp_merge(x2, k, u, s, t, precision, axis_name)
+    # pin TOKEN_BLOCK like the single-device VJP forward: the backward
+    # kernels are 256-blocked, and an oversized fwd block inside a
+    # differentiated graph measured slower (module docstring)
+    out, gm, gl = _attn_tp_merge(
+        x2, k, u, s, t, precision, axis_name, token_block=TOKEN_BLOCK
+    )
     return out, (x2, k, u, s, t, gm, gl, out)
 
 

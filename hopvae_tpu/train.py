@@ -52,9 +52,14 @@ HIST_RANGE = (-12.0, 4.0)
 
 
 def _log_magnitude_histogram(leaves) -> jnp.ndarray:
-    """(16,) int32 histogram of log10|x| over a list of arrays (jittable)."""
+    """(16,) int32 histogram of log10|x| over a list of arrays (jittable).
+
+    int32 explicitly: jnp.histogram returns float counts, and float32
+    accumulation across an epoch's steps loses integer exactness past
+    2^24 (real configs reach ~5e8 counts/bin/epoch)."""
     flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
-    return jnp.histogram(jnp.log10(jnp.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE)[0]
+    counts = jnp.histogram(jnp.log10(jnp.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE)[0]
+    return counts.astype(jnp.int32)
 
 
 def make_optimizer(config, steps_per_epoch: int, *, prior_only: bool, params) -> optax.GradientTransformation:
@@ -217,7 +222,9 @@ class Trainer:
                 epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
                 for k, v in m.items():
                     if k.startswith(("grad_norm", "grad_hist")):
-                        grad_sums[k] = grad_sums.get(k, 0.0) + v
+                        # seed from v itself: 0.0 + int32 would promote the
+                        # histogram counts to float32 (inexact past 2^24)
+                        grad_sums[k] = v if k not in grad_sums else grad_sums[k] + v
                 n_batches += 1
             epoch_sum = float(epoch_sum)
 
