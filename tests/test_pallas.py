@@ -113,3 +113,28 @@ def test_pallas_gradients_match_reference(m, s):
         g_pal,
         g_ref,
     )
+
+
+def test_fwd_token_block_policy():
+    """The adaptive forward token block (inference-only) must respect its
+    VMEM scores-tile budget, never inflate padded work beyond 1.25x the
+    real token count, and still grow when padding is free."""
+    from hopvae_tpu.ops.hopfield_pallas import TOKEN_BLOCK, _fwd_token_block_for
+
+    # bench shapes: M=512 (PB=512) wants the big block
+    assert _fwd_token_block_for(256 * 289, 512) == 1024
+    # M>=2048 (PB=2048): scores budget pins the original block
+    assert _fwd_token_block_for(256 * 289, 2048) == TOKEN_BLOCK
+    # serving batch-1 (289 tokens): pads to 512 either way -> one 512 step
+    assert _fwd_token_block_for(289, 512) == 512
+    # batch-2 (578 tokens): growing to 512 would pad to 1024 (>1.25x) -> stay
+    assert _fwd_token_block_for(578, 512) == TOKEN_BLOCK
+    # just past a block boundary: must not near-double padded work
+    assert _fwd_token_block_for(1030, 1024) == TOKEN_BLOCK
+
+    for n in (1, 289, 578, 1030, 4096, 256 * 289):
+        for pb in (256, 512, 1024, 2048):
+            tb = _fwd_token_block_for(n, pb)
+            padded = -(-n // tb) * tb
+            assert tb * pb * 4 <= (2 << 20) or tb == TOKEN_BLOCK
+            assert padded <= max(n + n // 4, -(-n // TOKEN_BLOCK) * TOKEN_BLOCK)
