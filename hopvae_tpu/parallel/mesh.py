@@ -78,6 +78,19 @@ def shard_params(mesh: Mesh, params, *, shard_patterns: bool = False):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch onto the mesh, sharded over ``data``."""
+    """Place a host batch onto the mesh, sharded over ``data``.
+
+    Multi-process (``HOPVAE_MULTIHOST=1`` slices): every process holds the
+    same full global batch (same data + seed on each host), and a plain
+    ``device_put`` cannot target non-addressable shards — so each process
+    contributes its addressable slices via ``make_array_from_callback``
+    (the callback receives global indices, making the slice semantics
+    explicit). Single-process keeps the direct put."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
