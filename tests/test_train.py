@@ -320,3 +320,17 @@ def test_pallas_sharded_handles_partial_batches():
     Trainer(model, cfg, mesh=mesh_lib.make_mesh(devices=jax.devices()[:1]))
     assert model.mesh is None
     model.mesh = None
+
+
+def test_shard_batch_callback_path_matches_device_put(monkeypatch):
+    """The multi-process branch of shard_batch (make_array_from_callback,
+    untestable with real multi-host here) must place identical values with
+    identical sharding — forced on a single process by patching
+    process_count."""
+    mesh = mesh_lib.make_mesh()
+    x = np.arange(8 * 4 * 4 * 1, dtype=np.float32).reshape(8, 4, 4, 1)
+    direct = mesh_lib.shard_batch(mesh, x)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    via_callback = mesh_lib.shard_batch(mesh, x)
+    assert direct.sharding == via_callback.sharding
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_callback))
