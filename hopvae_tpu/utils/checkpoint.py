@@ -147,10 +147,14 @@ def lenient_merge(fresh: Any, loaded: Any, _path: str = "") -> Any:
 
 
 def load_reference_checkpoint(model, params: dict, ckpt_path: str) -> dict:
-    """Convert + leniently merge the reference torch checkpoint into fresh
-    params, mirroring ``load_from_checkpoint`` behavior (no-op if absent)."""
+    """Load any checkpoint into fresh params (no-op if absent): native
+    ``.msgpack`` files load directly; anything else is treated as a
+    reference torch checkpoint — converted and leniently merged, mirroring
+    ``load_from_checkpoint`` (``/root/reference/utils/__init__.py:36-49``)."""
     if not os.path.exists(ckpt_path):
         return params
+    if ckpt_path.endswith(".msgpack"):
+        return load_params(ckpt_path, params)
     sd = load_torch_state_dict(ckpt_path)
     converted = convert_torch_state_dict(sd, model.config)
     return lenient_merge(params, converted)
