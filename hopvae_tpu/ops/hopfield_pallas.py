@@ -532,6 +532,13 @@ def _attn_ln_stream_bwd(precision, res, g):
         _stream_bwd_dku_kernel, d=d, beta=1.0 / (d**0.5),
         precision=precision, m_actual=m,
     )
+    # Measured dead end (2026-08-17): giving this kernel its own bigger
+    # token block (256→1024 at M=512) wins in isolation (0.45→0.27 ms
+    # per lookup, chained microbench) but LOSES ~15% end-to-end train
+    # throughput (33k→27.7k img/s, 3 interleaved reps) — the separately-
+    # padded second input set defeats sharing with the dx kernel's
+    # operands and the larger tiles crowd the backward's VMEM pipeline.
+    # Both backward kernels stay on TOKEN_BLOCK with shared operands.
     # grid transposed: (pattern-blocks outer, token-blocks inner)
     tok_spec2 = lambda w: pl.BlockSpec((TOKEN_BLOCK, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     pat_spec2 = lambda w: pl.BlockSpec((pattern_block, w), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
