@@ -32,7 +32,10 @@ def main(argv=None):
     cfg = load_config("pixelcnn_mnist_28")  # MNIST geometry + PixelCNN prior
     cfg.prior_start = max(args.epochs - 2, 0)  # engage the prior phase at the end
 
-    model = HopVAE(cfg)  # impl="pallas", compute_dtype=jnp.bfloat16 for the fast path
+    # defaults = the portable f32 XLA path (runs anywhere, incl. this
+    # script's CPU smoke test); on a TPU, pass impl="pallas",
+    # compute_dtype=jnp.bfloat16 for the production fast path
+    model = HopVAE(cfg)
     params = model.init(jax.random.PRNGKey(cfg.seed))
 
     # rendered-digit fallback data (pass --data to hopvae-train for real MNIST)

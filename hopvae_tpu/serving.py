@@ -154,10 +154,8 @@ def main(argv=None):
         # serving must not fall back to fresh params (the trainer's lenient
         # load semantics would silently serve an untrained model)
         parser.error(f"checkpoint not found: {args.checkpoint}")
-    if args.checkpoint.endswith(".msgpack"):
-        params = ckpt_lib.load_params(args.checkpoint, params)
-    else:
-        params = ckpt_lib.load_reference_checkpoint(model, params, args.checkpoint)
+    # dispatches native .msgpack vs torch .ckpt internally
+    params = ckpt_lib.load_reference_checkpoint(model, params, args.checkpoint)
 
     batch = max(len(args.inputs), 1) if args.mode == "reconstruct" else 1
     engine = InferenceEngine(

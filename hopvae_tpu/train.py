@@ -431,10 +431,8 @@ def main(argv=None):
     params = model.init(jax.random.PRNGKey(config.seed))
 
     ckpt = args.checkpoint or f"checkpoints/{config.data_set}-{config.image_size}.ckpt"
-    if ckpt.endswith(".msgpack") and os.path.exists(ckpt):
-        params = ckpt_lib.load_params(ckpt, params)
-    else:
-        params = ckpt_lib.load_reference_checkpoint(model, params, ckpt)
+    # dispatches native .msgpack vs torch .ckpt internally; no-op if absent
+    params = ckpt_lib.load_reference_checkpoint(model, params, ckpt)
 
     train_ds, _val_ds, test_ds = get_datasets(config, args.data)
     trainer = Trainer(model, config)

@@ -66,4 +66,9 @@ def device_seconds_per_iter(step_fn, init_state, *, iters: int = 20, repeats: in
         float(run2(init_state))
         return (time.perf_counter() - t0) / (2 * iters)
     slopes.sort()
-    return slopes[len(slopes) // 2]
+    mid = len(slopes) // 2
+    if len(slopes) % 2:
+        return slopes[mid]
+    # even count (a repeat was dropped as non-positive): true median —
+    # the upper-middle alone would return the worse of two survivors
+    return 0.5 * (slopes[mid - 1] + slopes[mid])
