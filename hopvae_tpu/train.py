@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,30 @@ def _log_magnitude_histogram(leaves) -> jnp.ndarray:
     flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
     counts = jnp.histogram(jnp.log10(jnp.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE)[0]
     return counts.astype(jnp.int32)
+
+
+def apply_overrides(config, sets: list, *, config_name: str = "") -> None:
+    """Apply ``--set KEY=VALUE`` overrides in place (values parsed as
+    Python literals when possible). Warns on keys absent from the config —
+    a misspelled key would otherwise be silently ignored by everything
+    downstream; new keys are still allowed (prior_* keys, for example,
+    are config-dependent)."""
+    import ast
+
+    for kv in sets:
+        key, eq, val = kv.partition("=")
+        if not eq:
+            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
+        if key not in config.__dict__:
+            print(
+                f"warning: --set {key} is not a {config_name or 'known'} "
+                f"config key (setting it anyway)",
+                file=sys.stderr,
+            )
+        try:
+            config.__dict__[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            config.__dict__[key] = val
 
 
 def make_optimizer(config, steps_per_epoch: int, *, prior_only: bool, params) -> optax.GradientTransformation:
@@ -416,16 +441,10 @@ def main(argv=None):
         parser.error(f"checkpoint not found: {args.checkpoint}")
 
     config = load_config(args.config)
-    for kv in args.set:
-        key, _, val = kv.partition("=")
-        if not _:
-            parser.error(f"--set expects KEY=VALUE, got {kv!r}")
-        try:
-            import ast
-
-            config.__dict__[key] = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            config.__dict__[key] = val
+    try:
+        apply_overrides(config, args.set, config_name=args.config)
+    except ValueError as e:
+        parser.error(str(e))
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
     model = HopVAE(config, impl=args.impl, compute_dtype=dtype)
     params = model.init(jax.random.PRNGKey(config.seed))

@@ -334,3 +334,20 @@ def test_shard_batch_callback_path_matches_device_put(monkeypatch):
     via_callback = mesh_lib.shard_batch(mesh, x)
     assert direct.sharding == via_callback.sharding
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_callback))
+
+
+def test_apply_overrides_parses_and_warns(capsys):
+    """--set parses literals, warns on unknown keys (typo guard), allows
+    config-dependent new keys, and rejects malformed pairs."""
+    from hopvae_tpu.train import apply_overrides
+
+    cfg = load_config("mnist_28")
+    apply_overrides(cfg, ["learning_rate=2e-3", "prior_start=7"], config_name="mnist_28")
+    assert cfg.learning_rate == 2e-3 and cfg.prior_start == 7
+    assert capsys.readouterr().err == ""
+
+    apply_overrides(cfg, ["learing_rate=5"], config_name="mnist_28")  # typo
+    assert "warning: --set learing_rate" in capsys.readouterr().err
+
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["no_equals_sign"])
