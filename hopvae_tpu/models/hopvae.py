@@ -122,6 +122,21 @@ class HopVAE:
 
     def _encode_to_tokens(self, params, x):
         """Image (B,H,W,C) → pre-VQ latent tokens (B, r², d), f32 out."""
+        cfg = self.config
+        expected = (cfg.image_size, cfg.image_size, cfg.num_channels)
+        if x.ndim != 4 or tuple(x.shape[1:]) != expected:
+            hint = ""
+            if x.ndim == 4 and tuple(x.shape[1:]) == (
+                cfg.num_channels, cfg.image_size, cfg.image_size
+            ):
+                # the reference (torch) is channels-first; this framework is
+                # NHWC — the single most likely migration mistake
+                hint = " — input looks NCHW; transpose with x.transpose(0, 2, 3, 1)"
+            raise ValueError(
+                f"expected NHWC input of shape (B, {expected[0]}, {expected[1]}, "
+                f"{expected[2]}) for config image_size={cfg.image_size}, got "
+                f"{tuple(x.shape)}{hint}"
+            )
         enc = self._cast(params["encoder"])
         pre = self._cast(params["pre_vq_conv"])
         z = layers.encoder_apply(enc, self._cast(x))

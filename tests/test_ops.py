@@ -71,3 +71,20 @@ def test_config_schema_complete(name):
     for k, s, p in [(4, 2, 1), (4, 2, 1), (4, 1, 2), (3, 1, 1)]:
         e = (e + 2 * p - k) // s + 1
     assert e == cfg["representation_dim"]
+
+
+def test_forward_rejects_nchw_with_hint():
+    """Reference users migrate from torch's channels-first; a wrong layout
+    must fail with an actionable message, not a cryptic conv error."""
+    import pytest
+    from hopvae_tpu.config import load_config
+    from hopvae_tpu.models.hopvae import HopVAE
+
+    cfg = load_config("mnist_28")
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    nchw = jnp.zeros((2, 1, 28, 28))
+    with pytest.raises(ValueError, match="transpose"):
+        model.forward(params, nchw)
+    with pytest.raises(ValueError, match="expected NHWC"):
+        model.forward(params, jnp.zeros((2, 32, 32, 1)))
