@@ -17,6 +17,13 @@ def get_prior(config):
         from hopvae_tpu.models.priors.pixelcnn import PixelCNNPrior
 
         return PixelCNNPrior(config)
+    elif config.prior == "Transformer":
+        # third family, no reference counterpart — decoder-only causal
+        # transformer with KV-cached lax.scan sampling (same AR order and
+        # protocol as the PixelCNN prior); select via --set prior=Transformer
+        from hopvae_tpu.models.priors.transformer import TransformerPrior
+
+        return TransformerPrior(config)
     elif config.prior == "None":
         return NormalPrior(config)
     raise ValueError(f"unknown prior {config.prior!r}")

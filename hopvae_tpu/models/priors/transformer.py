@@ -1,0 +1,232 @@
+"""Causal-Transformer prior over the discrete latent grid.
+
+A third prior family with no reference counterpart (the reference ships
+``Normal`` and an absent-submodule PixelCNN — ``/root/reference/utils/
+__init__.py:71-82``): it exists to prove the prior protocol
+(``models/priors/__init__.py``) is genuinely pluggable, and because a
+decoder-only transformer is the modern default for AR priors.
+
+AR order matches the PixelCNN prior exactly — raster over (i, j) with the
+channel chain innermost — so the flattened sequence index is
+``p = (i·r + j)·C + c`` and sequence length is ``S = r²·C``.
+
+TPU-first choices:
+
+- training forward = one dense causal-attention pass, logits for all S
+  positions at once (MXU-friendly (B,S,d) matmuls; the causal mask is an
+  iota comparison, no S×S constant materialized by us beyond the scores
+  XLA builds anyway);
+- sampling = one ``lax.scan`` over the S positions with preallocated
+  per-layer K/V caches updated by ``dynamic_update_slice`` — no
+  recomputation, no host round-trips; the same step function runs
+  teacher-forced in ``decode_logits`` so cache correctness is testable
+  against the dense forward without stochastic flakiness.
+
+Memory note: dense training attention materializes (B, heads, S, S)
+scores; at r=33 (S=3267) that is ~5 GB at batch 64 — prefer the PixelCNN
+prior (or small batches) for the largest grids. At the reference's r=8
+(S=192) and the scaled r=17 (S=867) it is cheap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _ln(x, p):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+
+def _ln_init(d):
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+class TransformerPrior:
+    """Decoder-only transformer over an ``(B, r, r, index_dim)`` level grid."""
+
+    has_params = True
+
+    def __init__(self, config):
+        self.index_dim = config.index_dim
+        self.representation_dim = config.representation_dim
+        self.num_levels = config.num_levels
+        self.d = getattr(config, "prior_d_model", 128)
+        self.heads = getattr(config, "prior_heads", 4)
+        self.n_layers = getattr(config, "prior_layers", 4)
+        assert self.d % self.heads == 0, "prior_d_model must split into heads"
+        self.seq = self.representation_dim**2 * self.index_dim
+
+    # ------------------------------------------------------------- params
+
+    def init(self, key) -> dict:
+        d, s, lvl = self.d, self.seq, self.num_levels
+        keys = jax.random.split(key, 4 + 4 * self.n_layers)
+        scale = 0.02
+
+        def dense(k, fan_in, fan_out):
+            return {
+                "kernel": scale * jax.random.normal(k, (fan_in, fan_out)),
+                "bias": jnp.zeros((fan_out,)),
+            }
+
+        return {
+            "tok_emb": scale * jax.random.normal(keys[0], (lvl, d)),
+            "bos": scale * jax.random.normal(keys[1], (d,)),
+            "pos_emb": scale * jax.random.normal(keys[2], (s, d)),
+            "blocks": [
+                {
+                    "ln1": _ln_init(d),
+                    "qkv": dense(keys[3 + 4 * i], d, 3 * d),
+                    "out": dense(keys[4 + 4 * i], d, d),
+                    "ln2": _ln_init(d),
+                    "mlp_in": dense(keys[5 + 4 * i], d, 4 * d),
+                    "mlp_out": dense(keys[6 + 4 * i], 4 * d, d),
+                }
+                for i in range(self.n_layers)
+            ],
+            "ln_f": _ln_init(d),
+            "head": dense(keys[-1], d, lvl),
+        }
+
+    # ------------------------------------------------------------ forward
+
+    def _embed_inputs(self, params, tokens):
+        """Shift-right embedding: position p's input is token p-1 (BOS at 0)."""
+        b, s = tokens.shape
+        emb = params["tok_emb"][tokens[:, :-1]]  # (B, S-1, d)
+        bos = jnp.broadcast_to(params["bos"], (b, 1, self.d))
+        return jnp.concatenate([bos, emb], axis=1) + params["pos_emb"][None, :s]
+
+    def _block(self, p, x, mask):
+        """Pre-LN block; ``mask (S, S)`` True where attention is allowed."""
+        b, s, d = x.shape
+        h, dh = self.heads, d // self.heads
+        q, k, v = jnp.split(
+            _ln(x, p["ln1"]) @ p["qkv"]["kernel"] + p["qkv"]["bias"], 3, axis=-1
+        )
+        q = q.reshape(b, s, h, dh)
+        k = k.reshape(b, s, h, dh)
+        v = v.reshape(b, s, h, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(float(dh))
+        scores = jnp.where(mask[None, None], scores, -1e30)
+        att = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+        x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
+        z = _ln(x, p["ln2"])
+        z = jax.nn.gelu(z @ p["mlp_in"]["kernel"] + p["mlp_in"]["bias"])
+        return x + z @ p["mlp_out"]["kernel"] + p["mlp_out"]["bias"]
+
+    def forward(self, params, grid: jax.Array) -> jax.Array:
+        """Level grid (B, r, r, C) [0, L-1] floats → logits (B, r, r, C, L)."""
+        b, r, c = grid.shape[0], self.representation_dim, self.index_dim
+        tokens = grid.astype(jnp.int32).reshape(b, self.seq)
+        x = self._embed_inputs(params, tokens)
+        s = self.seq
+        mask = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) <= (
+            jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        )
+        for blk in params["blocks"]:
+            x = self._block(blk, x, mask)
+        logits = _ln(x, params["ln_f"]) @ params["head"]["kernel"] + params["head"]["bias"]
+        return logits.reshape(b, r, r, c, self.num_levels)
+
+    # ------------------------------------------------------------- decode
+    #
+    # One scan step: given the embedded input for position t and K/V caches
+    # holding positions < t, return position t's logits and updated caches.
+    # Shared by the sampler and the teacher-forced `decode_logits` (the
+    # cache-correctness test surface).
+
+    def _decode_step(self, params, caches, x_t, t):
+        """x_t (B, d) input embedding for position t → (caches', logits (B, L))."""
+        h, dh = self.heads, self.d // self.heads
+        b = x_t.shape[0]
+        new_caches = []
+        x = x_t
+        for p, cache in zip(params["blocks"], caches):
+            q, kk, vv = jnp.split(
+                _ln(x, p["ln1"]) @ p["qkv"]["kernel"] + p["qkv"]["bias"], 3, axis=-1
+            )
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"], kk.reshape(b, 1, h, dh), (0, t, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"], vv.reshape(b, 1, h, dh), (0, t, 0, 0)
+            )
+            new_caches.append({"k": k_cache, "v": v_cache})
+            q = q.reshape(b, h, dh)
+            scores = jnp.einsum("bhd,bkhd->bhk", q, k_cache) / jnp.sqrt(float(dh))
+            valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) <= t
+            att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
+            y = jnp.einsum("bhk,bkhd->bhd", att, v_cache).reshape(b, self.d)
+            x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
+            z = _ln(x, p["ln2"])
+            z = jax.nn.gelu(z @ p["mlp_in"]["kernel"] + p["mlp_in"]["bias"])
+            x = x + z @ p["mlp_out"]["kernel"] + p["mlp_out"]["bias"]
+        logits = _ln(x, params["ln_f"]) @ params["head"]["kernel"] + params["head"]["bias"]
+        return new_caches, logits
+
+    def _empty_caches(self, b):
+        h, dh = self.heads, self.d // self.heads
+        return [
+            {"k": jnp.zeros((b, self.seq, h, dh)), "v": jnp.zeros((b, self.seq, h, dh))}
+            for _ in range(self.n_layers)
+        ]
+
+    def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
+        """KV-cached AR draw: one ``lax.scan`` over the S positions."""
+        b, s = num_samples, self.seq
+
+        def body(carry, t):
+            caches, tok_prev = carry
+            x_t = jnp.where(
+                t == 0,
+                jnp.broadcast_to(params["bos"], (b, self.d)),
+                params["tok_emb"][tok_prev],
+            ) + params["pos_emb"][t]
+            caches, logits = self._decode_step(params, caches, x_t, t)
+            draw = jax.random.categorical(jax.random.fold_in(key, t), logits, axis=-1)
+            return (caches, draw), draw
+
+        (_, _), draws = jax.lax.scan(
+            body, (self._empty_caches(b), jnp.zeros((b,), jnp.int32)), jnp.arange(s)
+        )
+        grid = draws.T.reshape(b, self.representation_dim, self.representation_dim, self.index_dim)
+        return grid.astype(jnp.float32)
+
+    def decode_logits(self, params, grid: jax.Array) -> jax.Array:
+        """Teacher-forced logits through the SAME KV-cached decode path as
+        :meth:`sample` — must match :meth:`forward` (cache-correctness
+        gate; see tests)."""
+        b = grid.shape[0]
+        tokens = grid.astype(jnp.int32).reshape(b, self.seq)
+
+        def body(caches, t):
+            x_t = jnp.where(
+                t == 0,
+                jnp.broadcast_to(params["bos"], (b, self.d)),
+                params["tok_emb"][tokens[:, jnp.maximum(t - 1, 0)]],
+            ) + params["pos_emb"][t]
+            caches, logits = self._decode_step(params, caches, x_t, t)
+            return caches, logits
+
+        _, logits = jax.lax.scan(body, self._empty_caches(b), jnp.arange(self.seq))
+        logits = jnp.moveaxis(logits, 0, 1)  # (B, S, L)
+        return logits.reshape(
+            b, self.representation_dim, self.representation_dim,
+            self.index_dim, self.num_levels,
+        )
+
+    # --------------------------------------------------------- protocol
+
+    def reconstruct(self, params, grid: jax.Array) -> jax.Array:
+        """Teacher-forced denoise: argmax re-prediction per position (same
+        contract as the PixelCNN prior)."""
+        logits = self.forward(params, grid)
+        return jnp.argmax(logits, axis=-1).astype(grid.dtype)
+
+    def interpolate(self, params, x: jax.Array, y: jax.Array) -> jax.Array:
+        return (x + y) / 2

@@ -1,0 +1,124 @@
+"""Transformer prior: causality, KV-cache exactness vs the dense forward,
+sampling determinism, trainability, and HopVAE integration. Mirrors the
+PixelCNN prior's test strategy (SURVEY.md §4.3) for the third prior family."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hopvae_tpu.config import load_config
+from hopvae_tpu.models.priors.transformer import TransformerPrior
+
+
+def _tiny_prior(r=4, c=3, lvl=16):
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = r
+    cfg.index_dim = c
+    cfg.num_levels = lvl
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_layers = 2
+    prior = TransformerPrior(cfg)
+    params = prior.init(jax.random.PRNGKey(0))
+    return prior, params, cfg
+
+
+def test_causality():
+    """Logits at flat position p must not depend on grid values at >= p
+    (AR order: raster over (i, j), channel chain innermost)."""
+    prior, params, cfg = _tiny_prior()
+    r, c = cfg.representation_dim, cfg.index_dim
+    rng = np.random.default_rng(0)
+    g1 = rng.integers(0, cfg.num_levels, (1, r, r, c)).astype(np.float32)
+    fwd = jax.jit(prior.forward)
+    base = np.asarray(fwd(params, jnp.asarray(g1))).reshape(-1, cfg.num_levels)
+
+    for p in (0, 5, r * r * c - 1):
+        g2 = g1.copy().reshape(-1)
+        g2[p:] = (g2[p:] + 7) % cfg.num_levels  # perturb position p and later
+        g2 = g2.reshape(1, r, r, c)
+        pert = np.asarray(fwd(params, jnp.asarray(g2))).reshape(-1, cfg.num_levels)
+        np.testing.assert_allclose(pert[: p + 1], base[: p + 1], rtol=1e-5, atol=1e-6)
+        if p + 1 < len(base):
+            assert not np.allclose(pert[p + 1 :], base[p + 1 :], rtol=1e-5, atol=1e-6)
+
+
+def test_kv_cache_decode_matches_dense_forward():
+    """The scan/KV-cache decode path (what sampling runs) must reproduce
+    the dense causal forward's logits position-for-position."""
+    prior, params, cfg = _tiny_prior()
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.num_levels, (2, r, r, c)), jnp.float32
+    )
+    dense = jax.jit(prior.forward)(params, g)
+    cached = jax.jit(prior.decode_logits)(params, g)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+
+def test_sampling_determinism_and_range():
+    prior, params, cfg = _tiny_prior()
+    s1 = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(5)))
+    s2 = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(5)))
+    s3 = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(6)))
+    np.testing.assert_array_equal(s1, s2)
+    assert not np.array_equal(s1, s3)
+    assert s1.shape == (3, cfg.representation_dim, cfg.representation_dim, cfg.index_dim)
+    assert s1.min() >= 0 and s1.max() <= cfg.num_levels - 1
+
+
+def test_bits_decrease_under_training():
+    """A few Adam steps on a fixed batch must reduce the cross-entropy —
+    the gradient path through the causal forward is live."""
+    import optax
+
+    prior, params, cfg = _tiny_prior()
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(2).integers(0, cfg.num_levels, (8, r, r, c)), jnp.float32
+    )
+
+    def loss(p):
+        logits = prior.forward(p, g)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = g.astype(jnp.int32)
+        return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+    l0 = float(loss(params))
+
+    @jax.jit
+    def step(p, o):
+        l, grads = jax.value_and_grad(loss)(p)
+        u, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    for _ in range(30):
+        params, opt, l = step(params, opt)
+    assert float(l) < l0 * 0.9
+
+
+def test_hopvae_integration_prior_phase():
+    """prior=Transformer wires through the model's fit_prior loss and the
+    sample() generation path end-to-end."""
+    from hopvae_tpu.models.hopvae import HopVAE
+
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 8
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_layers = 2
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 28, 28, 1), dtype=np.float32)
+    )
+    xr, aux = jax.jit(lambda p, x: model.forward(p, x, fit_prior=True))(params, x)
+    assert xr.shape == x.shape and np.isfinite(float(aux))
+    s = model.sample(params, jax.random.PRNGKey(1), num_samples=2)
+    assert s.shape == (2, 28, 28, 1) and bool(jnp.all(jnp.isfinite(s)))
