@@ -121,6 +121,9 @@ class TransformerPrior:
 
     def forward(self, params, grid: jax.Array) -> jax.Array:
         """Level grid (B, r, r, C) [0, L-1] floats → logits (B, r, r, C, L)."""
+        # msgpack-loaded params arrive as numpy; numpy fancy-indexing by a
+        # traced index (the embedding gathers) raises — coerce to jnp once
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         b, r, c = grid.shape[0], self.representation_dim, self.index_dim
         tokens = grid.astype(jnp.int32).reshape(b, self.seq)
         x = self._embed_inputs(params, tokens)
@@ -178,6 +181,7 @@ class TransformerPrior:
 
     def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
         """KV-cached AR draw: one ``lax.scan`` over the S positions."""
+        params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
         b, s = num_samples, self.seq
 
         def body(carry, t):
@@ -201,6 +205,7 @@ class TransformerPrior:
         """Teacher-forced logits through the SAME KV-cached decode path as
         :meth:`sample` — must match :meth:`forward` (cache-correctness
         gate; see tests)."""
+        params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
         b = grid.shape[0]
         tokens = grid.astype(jnp.int32).reshape(b, self.seq)
 

@@ -122,3 +122,24 @@ def test_hopvae_integration_prior_phase():
     assert xr.shape == x.shape and np.isfinite(float(aux))
     s = model.sample(params, jax.random.PRNGKey(1), num_samples=2)
     assert s.shape == (2, 28, 28, 1) and bool(jnp.all(jnp.isfinite(s)))
+
+
+def test_numpy_params_after_msgpack_roundtrip():
+    """Native-checkpoint loads hand back numpy leaves; the embedding
+    gathers must not choke on numpy-indexed-by-tracer (regression: the
+    shipped Transformer-MNIST-28.msgpack failed to sample)."""
+    from flax import serialization
+
+    prior, params, cfg = _tiny_prior()
+    np_params = serialization.from_bytes(
+        jax.device_get(params), serialization.to_bytes(jax.device_get(params))
+    )
+    assert isinstance(np_params["tok_emb"], np.ndarray)
+    s = jax.jit(lambda k: prior.sample(np_params, k, 2))(jax.random.PRNGKey(0))
+    ref = jax.jit(lambda k: prior.sample(params, k, 2))(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
+    np.testing.assert_allclose(
+        np.asarray(prior.forward(np_params, ref)),
+        np.asarray(prior.forward(params, ref)),
+        rtol=1e-6,
+    )
