@@ -354,6 +354,19 @@ def main():
     )
     details["pixelcnn_samples_per_sec_tpu"] = n_samp / dt
 
+    # optional third prior family: transformer KV-cached decode (the
+    # capacity option; PixelCNN remains the throughput sampler)
+    from hopvae_tpu.models.priors.transformer import TransformerPrior
+
+    tf_prior = TransformerPrior(pcfg)
+    tf_params = tf_prior.init(jax.random.PRNGKey(0))
+    tdt = device_seconds_per_iter(
+        _sampler_step(lambda k: tf_prior.sample(tf_params, k, 1024)),
+        jax.random.PRNGKey(0),
+        iters=3,
+    )
+    details["transformer_prior_samples_per_sec_tpu"] = 1024 / tdt
+
     # scaled-config AR sampling (r=17, 4096-level prior grid): the
     # column-incremental sampler's headline (VERDICT r1 #6)
     sprior_params = smodel.init(jax.random.PRNGKey(0))["prior"]
