@@ -23,3 +23,28 @@ def load_config(name: str) -> MakeConfig:
     from hopvae_tpu.configs import get_config
 
     return MakeConfig(get_config(name))
+
+
+def apply_overrides(config, sets: list, *, config_name: str = "") -> None:
+    """Apply ``--set KEY=VALUE`` overrides in place (values parsed as
+    Python literals when possible). Warns on keys absent from the config —
+    a misspelled key would otherwise be silently ignored by everything
+    downstream; new keys are still allowed (prior_* keys, for example,
+    are config-dependent)."""
+    import ast
+    import sys
+
+    for kv in sets:
+        key, eq, val = kv.partition("=")
+        if not eq:
+            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
+        if key not in config.__dict__:
+            print(
+                f"warning: --set {key} is not a {config_name or 'known'} "
+                f"config key (setting it anyway)",
+                file=sys.stderr,
+            )
+        try:
+            config.__dict__[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            config.__dict__[key] = val

@@ -24,6 +24,8 @@ def get_prior(config):
         from hopvae_tpu.models.priors.transformer import TransformerPrior
 
         return TransformerPrior(config)
-    elif config.prior == "None":
+    elif config.prior == "None" or config.prior is None:
+        # `--set prior=None` literal-evals to Python None; the configs'
+        # string convention ("None") and the literal both mean the stub
         return NormalPrior(config)
     raise ValueError(f"unknown prior {config.prior!r}")

@@ -23,9 +23,9 @@ TPU-first choices:
   against the dense forward without stochastic flakiness.
 
 Memory note: dense training attention materializes (B, heads, S, S)
-scores; at r=33 (S=3267) that is ~5 GB at batch 64 — prefer the PixelCNN
-prior (or small batches) for the largest grids. At the reference's r=8
-(S=192) and the scaled r=17 (S=867) it is cheap.
+f32 scores; at r=33 (S=3267) that is ~11 GB at batch 64 — prefer the
+PixelCNN prior (or small batches) for the largest grids. At the
+reference's r=8 (S=192) and the scaled r=17 (S=867) it is cheap.
 """
 
 from __future__ import annotations
@@ -33,11 +33,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from hopvae_tpu.ops.hopfield import layer_norm
+
 
 def _ln(x, p):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    return layer_norm(x, p["scale"], p["bias"])
 
 
 def _ln_init(d):

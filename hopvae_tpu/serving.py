@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hopvae_tpu.config import load_config
+from hopvae_tpu.config import apply_overrides, load_config
 from hopvae_tpu.data import MNIST_MEAN, MNIST_STD
 from hopvae_tpu.models.hopvae import HopVAE
 from hopvae_tpu.utils import checkpoint as ckpt_lib
@@ -144,10 +144,17 @@ def main(argv=None):
     parser.add_argument("--impl", default="pallas", choices=("xla", "pallas"))
     parser.add_argument("--compute-dtype", default="bfloat16",
                         choices=("float32", "bfloat16"))
+    parser.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                        help="override a config key (repeatable) — needed e.g. to "
+                             "serve a checkpoint saved with --set prior=Transformer")
     parser.add_argument("inputs", nargs="*", help="image/.npy files (reconstruct mode)")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    try:
+        apply_overrides(config, args.set, config_name=args.config)
+    except ValueError as e:
+        parser.error(str(e))
     model = HopVAE(config)
     params = model.init(jax.random.PRNGKey(config.seed))
     if not os.path.exists(args.checkpoint):

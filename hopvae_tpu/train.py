@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from hopvae_tpu.config import MakeConfig, load_config
+from hopvae_tpu.config import MakeConfig, apply_overrides, load_config
 from hopvae_tpu.data import get_datasets, iterate_batches
 from hopvae_tpu.models.hopvae import HopVAE
 from hopvae_tpu.parallel import mesh as mesh_lib
@@ -61,30 +61,6 @@ def _log_magnitude_histogram(leaves) -> jnp.ndarray:
     flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
     counts = jnp.histogram(jnp.log10(jnp.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE)[0]
     return counts.astype(jnp.int32)
-
-
-def apply_overrides(config, sets: list, *, config_name: str = "") -> None:
-    """Apply ``--set KEY=VALUE`` overrides in place (values parsed as
-    Python literals when possible). Warns on keys absent from the config —
-    a misspelled key would otherwise be silently ignored by everything
-    downstream; new keys are still allowed (prior_* keys, for example,
-    are config-dependent)."""
-    import ast
-
-    for kv in sets:
-        key, eq, val = kv.partition("=")
-        if not eq:
-            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
-        if key not in config.__dict__:
-            print(
-                f"warning: --set {key} is not a {config_name or 'known'} "
-                f"config key (setting it anyway)",
-                file=sys.stderr,
-            )
-        try:
-            config.__dict__[key] = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            config.__dict__[key] = val
 
 
 def make_optimizer(config, steps_per_epoch: int, *, prior_only: bool, params) -> optax.GradientTransformation:

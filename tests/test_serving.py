@@ -69,3 +69,43 @@ def test_cli_reconstruct(tmp_path):
         str(img), str(img),
     ])
     assert (tmp_path / "served" / "reconstructions.png").exists()
+
+
+def test_cli_serves_transformer_prior_checkpoint(tmp_path):
+    """A checkpoint saved with --set prior=Transformer must be servable:
+    --set rebuilds the matching params template (review finding — without
+    it, from_bytes hits a PixelCNN-vs-transformer structure mismatch)."""
+    from hopvae_tpu import serving
+    from hopvae_tpu.utils.checkpoint import save_params
+
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_layers = 2
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "tf.msgpack"
+    save_params(str(ckpt), params)
+
+    serving.main([
+        "--config", "pixelcnn_mnist_28", "--checkpoint", str(ckpt),
+        "--set", "prior=Transformer", "--set", "prior_d_model=32",
+        "--set", "prior_heads=2", "--set", "prior_layers=2",
+        "--mode", "sample", "--n-sample", "2",
+        "--out", str(tmp_path / "served"),
+        "--impl", "xla", "--compute-dtype", "float32",
+    ])
+    assert (tmp_path / "served" / "samples.png").exists()
+
+
+def test_prior_none_literal_accepted():
+    """--set prior=None literal-evals to Python None; the factory must
+    treat it as the Normal stub, not an unknown prior."""
+    from hopvae_tpu.config import apply_overrides
+    from hopvae_tpu.models.priors import NormalPrior, get_prior
+
+    cfg = load_config("pixelcnn_mnist_28")
+    apply_overrides(cfg, ["prior=None"])
+    assert cfg.prior is None
+    assert isinstance(get_prior(cfg), NormalPrior)
