@@ -12,28 +12,35 @@ channel chain innermost — so the flattened sequence index is
 
 TPU-first choices:
 
-- training forward = one dense causal-attention pass, logits for all S
-  positions at once (MXU-friendly (B,S,d) matmuls; the causal mask is an
-  iota comparison, no S×S constant materialized by us beyond the scores
-  XLA builds anyway);
+- training forward = causal attention for all S positions at once
+  (MXU-friendly (B,S,d) matmuls).  Two interchangeable attention
+  backends (``ops/attention.py``), selected by ``prior_attn``:
+  ``"dense"`` (one fused pass, (B, heads, S, S) scores — fastest at
+  small S), ``"blocked"`` (flash-style online-softmax over KV blocks,
+  O(S·block) memory — the only feasible path at r=17/r=33 geometries),
+  or ``"auto"`` (default: blocked once S ≥ 512);
 - sampling = one ``lax.scan`` over the S positions with preallocated
   per-layer K/V caches updated by ``dynamic_update_slice`` — no
   recomputation, no host round-trips; the same step function runs
   teacher-forced in ``decode_logits`` so cache correctness is testable
   against the dense forward without stochastic flakiness.
-
-Memory note: dense training attention materializes (B, heads, S, S)
-f32 scores; at r=33 (S=3267) that is ~11 GB at batch 64 — prefer the
-PixelCNN prior (or small batches) for the largest grids. At the
-reference's r=8 (S=192) and the scaled r=17 (S=867) it is cheap.
 """
 
 from __future__ import annotations
 
+import sys
+
 import jax
 import jax.numpy as jnp
 
+from hopvae_tpu.ops.attention import blocked_causal_attention, dense_causal_attention
 from hopvae_tpu.ops.hopfield import layer_norm
+
+# past this sequence length, "auto" switches the training forward to the
+# blocked backend: at S=512 the dense score tensor is already
+# B·heads·S²·4B ≈ 268 MB at batch 64 — and it is saved per layer for the
+# backward, while blocked holds one (B, h, 256, 256) tile
+_AUTO_BLOCKED_SEQ = 512
 
 
 def _ln(x, p):
@@ -58,6 +65,24 @@ class TransformerPrior:
         self.n_layers = getattr(config, "prior_layers", 4)
         assert self.d % self.heads == 0, "prior_d_model must split into heads"
         self.seq = self.representation_dim**2 * self.index_dim
+        attn = getattr(config, "prior_attn", "auto")
+        if attn == "auto":
+            attn = "blocked" if self.seq >= _AUTO_BLOCKED_SEQ else "dense"
+        if attn not in ("dense", "blocked"):
+            raise ValueError(f"prior_attn must be auto|dense|blocked, got {attn!r}")
+        if attn == "dense" and self.seq >= 1024:
+            # per-sample dense score memory: heads·S²·4B per layer, saved
+            # for the backward — at S=3267 that is ~171 MB/sample/layer
+            print(
+                f"warning: prior_attn=dense at S={self.seq} materializes "
+                f"{self.heads * self.seq**2 * 4 / 2**20:.0f} MiB of attention "
+                "scores per sample per layer (training OOM risk) — use "
+                "prior_attn=blocked (the auto default at this size)",
+                file=sys.stderr,
+            )
+        self.attn = attn
+        self.q_block = getattr(config, "prior_q_block", 256)
+        self.kv_block = getattr(config, "prior_kv_block", 256)
 
     # ------------------------------------------------------------- params
 
@@ -100,8 +125,8 @@ class TransformerPrior:
         bos = jnp.broadcast_to(params["bos"], (b, 1, self.d))
         return jnp.concatenate([bos, emb], axis=1) + params["pos_emb"][None, :s]
 
-    def _block(self, p, x, mask):
-        """Pre-LN block; ``mask (S, S)`` True where attention is allowed."""
+    def _block(self, p, x):
+        """Pre-LN block; causal attention via the configured backend."""
         b, s, d = x.shape
         h, dh = self.heads, d // self.heads
         q, k, v = jnp.split(
@@ -110,10 +135,13 @@ class TransformerPrior:
         q = q.reshape(b, s, h, dh)
         k = k.reshape(b, s, h, dh)
         v = v.reshape(b, s, h, dh)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(float(dh))
-        scores = jnp.where(mask[None, None], scores, -1e30)
-        att = jax.nn.softmax(scores, axis=-1)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+        if self.attn == "blocked":
+            y = blocked_causal_attention(
+                q, k, v, q_block=self.q_block, kv_block=self.kv_block
+            )
+        else:
+            y = dense_causal_attention(q, k, v)
+        y = y.reshape(b, s, d)
         x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
         z = _ln(x, p["ln2"])
         z = jax.nn.gelu(z @ p["mlp_in"]["kernel"] + p["mlp_in"]["bias"])
@@ -127,12 +155,8 @@ class TransformerPrior:
         b, r, c = grid.shape[0], self.representation_dim, self.index_dim
         tokens = grid.astype(jnp.int32).reshape(b, self.seq)
         x = self._embed_inputs(params, tokens)
-        s = self.seq
-        mask = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) <= (
-            jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        )
         for blk in params["blocks"]:
-            x = self._block(blk, x, mask)
+            x = self._block(blk, x)
         logits = _ln(x, params["ln_f"]) @ params["head"]["kernel"] + params["head"]["bias"]
         return logits.reshape(b, r, r, c, self.num_levels)
 

@@ -26,6 +26,89 @@ def _tiny_prior(r=4, c=3, lvl=16):
     return prior, params, cfg
 
 
+def test_blocked_attention_matches_dense():
+    """Op-level: the flash-style blocked backend must equal the dense
+    masked softmax — values AND gradients — including when S does not
+    divide the block sizes (padding path)."""
+    from hopvae_tpu.ops.attention import blocked_causal_attention, dense_causal_attention
+
+    rng = np.random.default_rng(0)
+    for s, qb, kb in [(37, 16, 8), (48, 16, 16), (16, 64, 64), (5, 2, 3)]:
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, s, 2, 8), dtype=np.float32))
+            for _ in range(3)
+        )
+        dense = dense_causal_attention(q, k, v)
+        blocked = jax.jit(
+            lambda q, k, v: blocked_causal_attention(q, k, v, q_block=qb, kv_block=kb)
+        )(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(blocked), np.asarray(dense), rtol=1e-5, atol=1e-5,
+            err_msg=f"S={s} qb={qb} kb={kb}",
+        )
+
+        w = jnp.asarray(rng.standard_normal(dense.shape, dtype=np.float32))
+        gd = jax.grad(lambda q, k, v: jnp.sum(dense_causal_attention(q, k, v) * w), (0, 1, 2))(q, k, v)
+        gb = jax.grad(
+            lambda q, k, v: jnp.sum(
+                blocked_causal_attention(q, k, v, q_block=qb, kv_block=kb) * w
+            ),
+            (0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gb, gd):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=f"grad S={s} qb={qb} kb={kb}",
+            )
+
+
+def test_blocked_prior_forward_matches_dense():
+    """Whole-prior: prior_attn=blocked reproduces the dense training
+    forward's logits and parameter gradients on shared params."""
+    prior_d, params, cfg = _tiny_prior()
+    cfg.prior_attn = "blocked"
+    cfg.prior_q_block = 16
+    cfg.prior_kv_block = 8
+    prior_b = TransformerPrior(cfg)
+    assert prior_d.attn == "dense" and prior_b.attn == "blocked"
+
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.num_levels, (2, r, r, c)), jnp.float32
+    )
+    ld = jax.jit(prior_d.forward)(params, g)
+    lb = jax.jit(prior_b.forward)(params, g)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(ld), rtol=1e-4, atol=1e-5)
+
+    def nll(prior, p):
+        logp = jax.nn.log_softmax(prior.forward(p, g), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, g.astype(jnp.int32)[..., None], axis=-1))
+
+    gd = jax.grad(lambda p: nll(prior_d, p))(params)
+    gb = jax.grad(lambda p: nll(prior_b, p))(params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gd), jax.tree_util.tree_leaves_with_path(gb)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_attn_auto_selection():
+    """auto → dense below the threshold, blocked at the scaled grids; an
+    explicit bad value raises."""
+    cfg = load_config("pixelcnn_mnist_28")  # r=8, C=3 → S=192
+    assert TransformerPrior(cfg).attn == "dense"
+    cfg.representation_dim = 17  # S=867
+    assert TransformerPrior(cfg).attn == "blocked"
+    cfg.prior_attn = "dense"
+    assert TransformerPrior(cfg).attn == "dense"
+    cfg.prior_attn = "bogus"
+    with pytest.raises(ValueError):
+        TransformerPrior(cfg)
+
+
 def test_causality():
     """Logits at flat position p must not depend on grid values at >= p
     (AR order: raster over (i, j), channel chain innermost)."""

@@ -1,0 +1,71 @@
+"""Measure the Transformer-prior training-step memory bound: dense vs
+blocked attention, from XLA's own compiled memory analysis (deterministic,
+no allocation needed — the dense r=33 case would OOM if actually run).
+
+Usage: python tools/attn_memory.py [--batch 64]
+
+Prints one JSON line per (geometry, backend) with XLA's temp-allocation
+and argument sizes for jit(value_and_grad(nll)) — the exact quantity that
+decides whether a training step fits in HBM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from hopvae_tpu.config import load_config
+from hopvae_tpu.models.priors.transformer import TransformerPrior
+
+
+def measure(r: int, attn: str, batch: int) -> dict:
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = r
+    cfg.num_levels = 512
+    cfg.prior_attn = attn
+    prior = TransformerPrior(cfg)
+    params = prior.init(jax.random.PRNGKey(0))
+    g = jnp.zeros((batch, r, r, cfg.index_dim), jnp.float32)
+
+    def nll(p, g):
+        logp = jax.nn.log_softmax(prior.forward(p, g), axis=-1)
+        tgt = g.astype(jnp.int32)
+        return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+
+    row = {"r": r, "seq": prior.seq, "attn": attn, "batch": batch}
+    lowered = jax.jit(jax.value_and_grad(nll)).lower(params, g)
+    try:
+        ma = lowered.compile().memory_analysis()
+    except Exception as e:  # XLA AOT refuses programs that exceed HBM
+        import re
+
+        row["compile_oom"] = True
+        # surface XLA's own requirement, e.g. "Used 43.11G of 15.75G hbm"
+        m = re.search(r"Used [\d.]+\w of [\d.]+\w hbm", str(e))
+        if m:
+            row["xla_error"] = m.group(0)
+        return row
+    row.update(
+        temp_gib=ma.temp_size_in_bytes / 2**30,
+        output_gib=ma.output_size_in_bytes / 2**30,
+        argument_gib=ma.argument_size_in_bytes / 2**30,
+    )
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--geometries", type=int, nargs="+", default=[17, 33])
+    args = ap.parse_args()
+    for r in args.geometries:
+        for attn in ("dense", "blocked"):
+            row = measure(r, attn, args.batch)
+            print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
