@@ -400,6 +400,20 @@ def main(argv=None):
                              "(the reference's wandb.watch(log='all') equivalent)")
     args = parser.parse_args(argv)
 
+    # persistent XLA compile cache (same location bench.py uses): cold
+    # train-step + AR-sampler compiles cost minutes on a tunneled backend,
+    # and every resume after a preemption repays them without this
+    cache_dir = os.environ.get(
+        "HOPVAE_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    if cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # backend already initialized with a cache, or read-only FS
+
     if os.environ.get("HOPVAE_MULTIHOST") == "1":
         # multi-host TPU slice (deploy/tpu_job.sh exports this on every
         # worker): auto-detecting initialize makes jax.devices() span the

@@ -154,7 +154,7 @@ def load_reference_checkpoint(model, params: dict, ckpt_path: str) -> dict:
     if not os.path.exists(ckpt_path):
         return params
     if ckpt_path.endswith(".msgpack"):
-        return load_params(ckpt_path, params)
+        return load_params_lenient(ckpt_path, params)
     sd = load_torch_state_dict(ckpt_path)
     converted = convert_torch_state_dict(sd, model.config)
     return lenient_merge(params, converted)
@@ -172,7 +172,28 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str, like: Any) -> Any:
+    """Strict structural load — raises on any pytree mismatch.  Used by
+    resume (``Trainer._try_resume*``), where a silent partial restore of
+    optimizer state would be a debugging trap."""
     from flax import serialization
 
     with open(path, "rb") as f:
         return serialization.from_bytes(like, f.read())
+
+
+def load_params_lenient(path: str, like: Any) -> Any:
+    """Native-msgpack load with the reference's partial-load semantics:
+    leaves adopted where present with matching shape, fresh otherwise.
+
+    This is what lets a checkpoint trained with one prior family seed a
+    model built with another (e.g. the FFHQ-64 backbone from a PixelCNN
+    run warm-starting ``--set prior=Transformer`` training): the backbone
+    merges, the mismatched ``prior`` subtree stays freshly initialized —
+    mirroring how the reference leniently loads its prior-less MNIST
+    checkpoint (``/root/reference/utils/__init__.py:36-49``)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    fresh_sd = serialization.to_state_dict(jax.device_get(like))
+    return serialization.from_state_dict(like, lenient_merge(fresh_sd, raw))

@@ -92,3 +92,42 @@ def test_interpolate_and_sample_shapes(setup):
     assert out2 is x_nhwc
     s = model.sample(params, jax.random.PRNGKey(0), num_samples=3)
     assert s.shape == (3, 28, 28, 1)
+
+
+def test_lenient_msgpack_load_across_prior_families(tmp_path):
+    """A native checkpoint saved with one prior family must warm-start a
+    model built with another: backbone leaves adopted, the mismatched
+    prior subtree left freshly initialized (the reference's lenient-load
+    semantics, utils/__init__.py:36-49, extended to native msgpack)."""
+    from hopvae_tpu.utils.checkpoint import load_reference_checkpoint, save_params
+
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.prior_num_filters = 9
+    cfg.prior_num_res_blocks = 1
+    m_pix = HopVAE(cfg)
+    p_pix = m_pix.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "pix.ckpt.msgpack")
+    save_params(path, p_pix)
+
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_layers = 2
+    m_tf = HopVAE(cfg)
+    p_tf_fresh = m_tf.init(jax.random.PRNGKey(1))
+    fresh_prior = jax.device_get(p_tf_fresh["prior"])
+    loaded = load_reference_checkpoint(m_tf, p_tf_fresh, path)
+
+    # backbone adopted from the PixelCNN-run checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(loaded["pre_vq_conv"]["kernel"]),
+        np.asarray(p_pix["pre_vq_conv"]["kernel"]),
+    )
+    # prior kept fresh (structures are incompatible)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["prior"]["tok_emb"]), np.asarray(fresh_prior["tok_emb"])
+    )
+    # and the merged tree is usable end-to-end
+    x = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    xr, aux = jax.jit(lambda p, x: m_tf.forward(p, x, fit_prior=True))(loaded, x)
+    assert xr.shape == x.shape and np.isfinite(float(aux))
