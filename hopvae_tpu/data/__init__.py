@@ -356,6 +356,7 @@ def iterate_batches(
     seed: int = 0,
     drop_remainder: bool = False,
     prefetch: int = 0,
+    local_slice: tuple[int, int] | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Numpy batch iterator (the host side of the input pipeline).
 
@@ -363,7 +364,18 @@ def iterate_batches(
     in-memory (:class:`ArrayDataset`) or streaming
     (:class:`LazyImageFolder`). ``prefetch > 0`` decodes that many batches
     ahead on a background thread.
+
+    ``local_slice=(start, stop)`` (multi-host input sharding): yield only
+    that sub-range of every batch — the shuffle permutation is seeded, so
+    all hosts agree on the global order while each reads/decodes ONLY the
+    files of its own ``parallel.mesh.process_batch_bounds`` slice.
+    Requires ``drop_remainder`` (a ragged final batch would change the
+    per-process split).
     """
+    assert local_slice is None or drop_remainder, (
+        "local_slice needs drop_remainder=True: the final ragged batch "
+        "has no well-defined per-process split"
+    )
     idx = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
@@ -371,6 +383,9 @@ def iterate_batches(
 
     def gen():
         for i in range(0, end, batch_size):
-            yield ds.gather(idx[i : i + batch_size])
+            b = idx[i : i + batch_size]
+            if local_slice is not None:
+                b = b[local_slice[0] : local_slice[1]]
+            yield ds.gather(b)
 
     return _prefetched(gen(), prefetch) if prefetch > 0 else gen()

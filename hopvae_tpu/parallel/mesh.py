@@ -77,17 +77,58 @@ def shard_params(mesh: Mesh, params, *, shard_patterns: bool = False):
     return jax.device_put(params, param_shardings(mesh, params, shard_patterns=shard_patterns))
 
 
-def shard_batch(mesh: Mesh, batch):
+def process_batch_bounds(mesh: Mesh, global_batch: int) -> tuple[int, int]:
+    """Half-open ``[start, stop)`` of the global batch this process must
+    provide under :func:`batch_sharding`.
+
+    The batch axis is sharded over ``data`` in device order, so each
+    process's addressable portion is one contiguous run — this is what
+    lets every host read and decode ONLY its own slice of an FFHQ batch
+    instead of materializing the identical global batch everywhere
+    (each file is opened by exactly one process)."""
+    im = batch_sharding(mesh).addressable_devices_indices_map((global_batch,))
+    starts, stops = [], []
+    for (sl,) in im.values():
+        starts.append(0 if sl.start is None else sl.start)
+        stops.append(global_batch if sl.stop is None else sl.stop)
+    lo, hi = min(starts), max(stops)
+    # contiguity sanity: the union of addressable slices must be one run
+    span = sorted((0 if s.start is None else s.start,
+                   global_batch if s.stop is None else s.stop)
+                  for (s,) in im.values())
+    cover = span[0][0]
+    for a, b in span:
+        assert a <= cover, f"non-contiguous process batch slices: {span}"
+        cover = max(cover, b)
+    return lo, hi
+
+
+def shard_batch(mesh: Mesh, batch, *, global_batch: int | None = None):
     """Place a host batch onto the mesh, sharded over ``data``.
 
-    Multi-process (``HOPVAE_MULTIHOST=1`` slices): every process holds the
-    same full global batch (same data + seed on each host), and a plain
-    ``device_put`` cannot target non-addressable shards — so each process
-    contributes its addressable slices via ``make_array_from_callback``
-    (the callback receives global indices, making the slice semantics
-    explicit). Single-process keeps the direct put."""
+    Two multi-process modes (``HOPVAE_MULTIHOST=1`` slices; a plain
+    ``device_put`` cannot target non-addressable shards):
+
+    - ``global_batch=None``: every process holds the same full global
+      batch (same data + seed on each host); each contributes its
+      addressable slices via ``make_array_from_callback``.
+    - ``global_batch=N``: ``batch`` holds only this process's
+      ``process_batch_bounds(mesh, N)`` slice — the scalable input path —
+      and the global array is assembled zero-copy from per-process local
+      data via ``make_array_from_process_local_data``.
+
+    Single-process keeps the direct put in both modes."""
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:
+        if global_batch is not None:
+            def put_local(x):
+                x = np.asarray(x)
+                return jax.make_array_from_process_local_data(
+                    sh, x, (global_batch,) + x.shape[1:]
+                )
+
+            return jax.tree_util.tree_map(put_local, batch)
+
         def put(x):
             x = np.asarray(x)
             return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])

@@ -214,11 +214,21 @@ class Trainer:
             epoch_sum = jnp.zeros(())
             grad_sums = {}
             n_batches = 0
+            # multi-host: each process reads/decodes only its own slice of
+            # every global batch (the shuffle order is seed-agreed)
+            multi = jax.process_count() > 1
+            local = (
+                mesh_lib.process_batch_bounds(self.mesh, cfg.batch_size)
+                if multi
+                else None
+            )
             for bx, _ in iterate_batches(
                 train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
-                drop_remainder=True, prefetch=2,
+                drop_remainder=True, prefetch=2, local_slice=local,
             ):
-                bx = mesh_lib.shard_batch(self.mesh, bx)
+                bx = mesh_lib.shard_batch(
+                    self.mesh, bx, global_batch=cfg.batch_size if multi else None
+                )
                 params, opt_state, m = step(params, opt_state, bx)
                 epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
                 for k, v in m.items():
@@ -269,11 +279,18 @@ class Trainer:
     def _fetch(arr) -> np.ndarray:
         """Device array → host numpy, multi-host safe: a global array
         sharded across processes spans non-addressable devices, so gather
-        it first (single-process: plain fetch, zero overhead)."""
+        it over axis 0 first (this model only ever shards leaf axis 0:
+        batch over ``data``, pattern memories over ``model``).  Replicated
+        or locally-complete arrays skip the collective — but note every
+        process must walk the same leaves in the same order so the
+        processes that DO gather stay in step."""
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+            replicated = getattr(arr, "is_fully_replicated", False)
+            addressable = getattr(arr, "is_fully_addressable", True)
+            if not (replicated or addressable):
+                from jax.experimental import multihost_utils
 
-            return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+                return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
         return np.asarray(arr)
 
     def evaluate(self, params, test_ds, *, out_dir, epoch, logger=None, n_sample_images: int = 16):
@@ -325,15 +342,42 @@ class Trainer:
         return f"{self.config.data_set}-{self.config.image_size}"
 
     def save(self, params, opt_state, epoch, out_dir):
+        """Checkpoint params + optimizer + epoch.
+
+        Multi-host safe: leaves that span non-addressable devices are
+        gathered first (a collective — entered by every process), then
+        ONLY process 0 writes, via temp-file + atomic rename so a
+        preemption mid-write never corrupts the resume target and
+        workers sharing storage never race on the same file (the
+        reference's save is single-process, ``main.py:123-124``)."""
         import json
 
+        if jax.process_count() > 1:
+            params = jax.tree_util.tree_map(self._fetch, params)
+            opt_state = jax.tree_util.tree_map(self._fetch, opt_state)
+            if jax.process_index() != 0:
+                return
         tag = self._tag()
-        ckpt_lib.save_params(os.path.join(out_dir, f"{tag}.ckpt.msgpack"), params)
-        ckpt_lib.save_params(
-            os.path.join(out_dir, f"{tag}.optstate.msgpack"), jax.device_get(opt_state)
+        self._write_atomic(
+            os.path.join(out_dir, f"{tag}.ckpt.msgpack"),
+            lambda p: ckpt_lib.save_params(p, params),
         )
-        with open(os.path.join(out_dir, f"{tag}.meta.json"), "w") as f:
-            json.dump({"epoch": int(epoch)}, f)
+        self._write_atomic(
+            os.path.join(out_dir, f"{tag}.optstate.msgpack"),
+            lambda p: ckpt_lib.save_params(p, jax.device_get(opt_state)),
+        )
+
+        def _write_meta(p):
+            with open(p, "w") as f:
+                json.dump({"epoch": int(epoch)}, f)
+
+        self._write_atomic(os.path.join(out_dir, f"{tag}.meta.json"), _write_meta)
+
+    @staticmethod
+    def _write_atomic(path: str, write_fn) -> None:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_fn(tmp)
+        os.replace(tmp, path)
 
     def _try_resume(self, params, out_dir, start_epoch):
         """Restore params + next epoch from a previous run's checkpoints
