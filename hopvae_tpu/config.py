@@ -38,7 +38,11 @@ def apply_overrides(config, sets: list, *, config_name: str = "") -> None:
         key, eq, val = kv.partition("=")
         if not eq:
             raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
-        if key not in config.__dict__:
+        # prior_* keys are legitimately config-dependent (the Transformer
+        # prior's d_model/heads/layers/attn/blocks, the PixelCNN's
+        # filters/res_blocks) and appear in no base config — don't cry
+        # typo on the documented workflow
+        if key not in config.__dict__ and not key.startswith("prior_"):
             print(
                 f"warning: --set {key} is not a {config_name or 'known'} "
                 f"config key (setting it anyway)",

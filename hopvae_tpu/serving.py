@@ -40,7 +40,11 @@ class InferenceEngine:
         impl: str = "pallas",
         compute_dtype=jnp.bfloat16,
         n_sample: int = 16,
+        ops: tuple = ("reconstruct", "encode", "sample", "interpolate"),
     ):
+        """``ops`` selects which entry points to AOT-compile — a
+        reconstruct-only deployment should not pay the AR sampler's
+        (much longer) compile."""
         self.config = config
         self.max_batch = max_batch
         self.n_sample = n_sample
@@ -55,19 +59,29 @@ class InferenceEngine:
         key_shape = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
         # AOT: lower + compile now, not on first request
-        self._recon = (
-            jax.jit(lambda p, x: self.model.forward(p, x)[0])
-            .lower(p_shapes, x_shape)
-            .compile()
-        )
-        self._encode = (
-            jax.jit(self.model._encode_to_tokens).lower(p_shapes, x_shape).compile()
-        )
-        self._sample = (
-            jax.jit(lambda p, k: self.model.sample(p, k, n_sample))
-            .lower(p_shapes, key_shape)
-            .compile()
-        )
+        self._recon = self._encode = self._sample = self._interp = None
+        if "reconstruct" in ops:
+            self._recon = (
+                jax.jit(lambda p, x: self.model.forward(p, x)[0])
+                .lower(p_shapes, x_shape)
+                .compile()
+            )
+        if "encode" in ops:
+            self._encode = (
+                jax.jit(self.model._encode_to_tokens).lower(p_shapes, x_shape).compile()
+            )
+        if "sample" in ops:
+            self._sample = (
+                jax.jit(lambda p, k: self.model.sample(p, k, n_sample))
+                .lower(p_shapes, key_shape)
+                .compile()
+            )
+        if "interpolate" in ops:
+            self._interp = (
+                jax.jit(self.model.interpolate)
+                .lower(p_shapes, x_shape, x_shape)
+                .compile()
+            )
 
     def _pad(self, x: np.ndarray):
         n = x.shape[0]
@@ -79,20 +93,35 @@ class InferenceEngine:
             )
         return x, n
 
+    @staticmethod
+    def _require(fn, name):
+        if fn is None:
+            raise RuntimeError(f"{name!r} was not in this engine's compiled ops")
+        return fn
+
     def reconstruct(self, x: np.ndarray) -> np.ndarray:
         """Normalized NHWC batch → reconstructions (unpadded)."""
         xp, n = self._pad(np.asarray(x, np.float32))
-        return np.asarray(self._recon(self.params, xp))[:n]
+        return np.asarray(self._require(self._recon, "reconstruct")(self.params, xp))[:n]
 
     def encode(self, x: np.ndarray) -> np.ndarray:
         """Normalized NHWC batch → pre-VQ latent tokens (B, r², d)."""
         xp, n = self._pad(np.asarray(x, np.float32))
-        return np.asarray(self._encode(self.params, xp))[:n]
+        return np.asarray(self._require(self._encode, "encode")(self.params, xp))[:n]
 
     def sample(self, seed: int = 0) -> np.ndarray:
         """``n_sample`` unconditional generations."""
         key = jax.random.PRNGKey(seed)
-        return np.asarray(self._sample(self.params, jnp.asarray(key)))
+        return np.asarray(self._require(self._sample, "sample")(self.params, jnp.asarray(key)))
+
+    def interpolate(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Pairwise latent-space interpolation of two equal-shape batches
+        (the reference's eval surface, ``main.py:69,76``)."""
+        xp, n = self._pad(np.asarray(x, np.float32))
+        yp, m = self._pad(np.asarray(y, np.float32))
+        if n != m:
+            raise ValueError(f"interpolate needs equal batch sizes, got {n} and {m}")
+        return np.asarray(self._require(self._interp, "interpolate")(self.params, xp, yp))[:n]
 
 
 # ----------------------------------------------------------------- CLI
@@ -137,7 +166,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Batch inference over image files")
     parser.add_argument("--config", default="mnist_28")
     parser.add_argument("--checkpoint", required=True)
-    parser.add_argument("--mode", choices=("reconstruct", "sample"), default="reconstruct")
+    parser.add_argument("--mode", choices=("reconstruct", "sample", "interpolate"),
+                        default="reconstruct")
     parser.add_argument("--out", default="served")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-sample", type=int, default=16)
@@ -164,11 +194,17 @@ def main(argv=None):
     # dispatches native .msgpack vs torch .ckpt internally
     params = ckpt_lib.load_reference_checkpoint(model, params, args.checkpoint)
 
-    batch = max(len(args.inputs), 1) if args.mode == "reconstruct" else 1
+    if args.mode == "interpolate":
+        batch = max(len(args.inputs) // 2, 1)
+    elif args.mode == "reconstruct":
+        batch = max(len(args.inputs), 1)
+    else:
+        batch = 1
     engine = InferenceEngine(
         config, params, max_batch=min(max(batch, 1), 256), n_sample=args.n_sample,
         impl=args.impl,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else None,
+        ops=(args.mode,),  # compile only what this invocation runs
     )
 
     from hopvae_tpu.utils.metrics import denormalize, save_image_grid
@@ -191,6 +227,19 @@ def main(argv=None):
         )
         mse = float(np.mean((y - x) ** 2))
         print(f"wrote {args.out}/reconstructions.png ({len(y)} images, recon MSE {mse:.6f})")
+    elif args.mode == "interpolate":
+        # first half ↔ second half, pairwise (the reference interpolates
+        # two whole eval batches, main.py:69,76)
+        if len(args.inputs) < 2 or len(args.inputs) % 2:
+            parser.error("interpolate mode needs an even number (≥2) of input files")
+        imgs = _load_images(args.inputs, config)
+        half = len(imgs) // 2
+        y = engine.interpolate(imgs[:half], imgs[half:])
+        save_image_grid(
+            os.path.join(args.out, "interpolations.png"),
+            denormalize(y, config.data_set),
+        )
+        print(f"wrote {args.out}/interpolations.png ({len(y)} interpolations)")
     else:
         y = engine.sample(args.seed)
         save_image_grid(

@@ -31,6 +31,7 @@ import argparse
 import functools
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -222,6 +223,7 @@ class Trainer:
                 if multi
                 else None
             )
+            t_epoch = time.perf_counter()
             for bx, _ in iterate_batches(
                 train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
                 drop_remainder=True, prefetch=2, local_slice=local,
@@ -232,12 +234,22 @@ class Trainer:
                 params, opt_state, m = step(params, opt_state, bx)
                 epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
                 for k, v in m.items():
-                    if k.startswith(("grad_norm", "grad_hist")):
-                        # seed from v itself: 0.0 + int32 would promote the
-                        # histogram counts to float32 (inexact past 2^24)
+                    if k.startswith("grad_hist"):
+                        # collect per-step (16,) int32 counts and reduce on
+                        # host in int64 at epoch end: device int32 sums
+                        # wrap past 2^31 (~4× the current ~5e8
+                        # counts/bin/epoch), and a per-step host fetch
+                        # would sync the ~29ms tunnel every step
+                        grad_sums.setdefault(k, []).append(v)
+                    elif k.startswith("grad_norm"):
                         grad_sums[k] = v if k not in grad_sums else grad_sums[k] + v
                 n_batches += 1
-            epoch_sum = float(epoch_sum)
+            epoch_sum = float(epoch_sum)  # blocks on the last step
+            # wall-clock throughput WITH the host input pipeline included —
+            # the honest number to hold against the device-only bench
+            # figures (utils/benchmark.py); a gap means the host (decode,
+            # prefetch depth) is starving the chip
+            elapsed = time.perf_counter() - t_epoch
 
             record = {
                 # reference metric name + normalization quirk (main.py:41-43)
@@ -245,11 +257,17 @@ class Trainer:
                 "train_loss_per_batch": epoch_sum / max(n_batches, 1),
                 "epoch": epoch,
                 "fit_prior": fit_prior,
+                "epoch_seconds": elapsed,
+                "steps_per_sec": n_batches / max(elapsed, 1e-9),
+                "images_per_sec": n_batches * cfg.batch_size / max(elapsed, 1e-9),
             }
             for k, v in grad_sums.items():
                 if k.startswith("grad_hist"):
-                    # summed counts across the epoch's steps
-                    record[k] = np.asarray(v).astype(int).tolist()
+                    # one device→host fetch of the stacked per-step counts,
+                    # summed in int64 (overflow-proof)
+                    record[k] = (
+                        np.asarray(jnp.stack(v)).astype(np.int64).sum(axis=0).tolist()
+                    )
                 else:
                     record[k] = float(v) / max(n_batches, 1)
             if self.watch_gradients:

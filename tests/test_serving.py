@@ -109,3 +109,66 @@ def test_prior_none_literal_accepted():
     apply_overrides(cfg, ["prior=None"])
     assert cfg.prior is None
     assert isinstance(get_prior(cfg), NormalPrior)
+
+
+def test_engine_interpolate_and_op_selection():
+    """interpolate produces valid images; an op left out of `ops` raises
+    instead of hitting a None."""
+    import pytest
+
+    cfg = load_config("mnist_28")
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        cfg, params, max_batch=4, impl="xla", compute_dtype=None,
+        ops=("interpolate",),
+    )
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 28, 28, 1)).astype(np.float32)
+    y = rng.standard_normal((3, 28, 28, 1)).astype(np.float32)
+    z = eng.interpolate(x, y)
+    assert z.shape == (3, 28, 28, 1) and np.isfinite(z).all()
+    with pytest.raises(ValueError, match="equal batch"):
+        eng.interpolate(x, y[:2])
+    with pytest.raises(RuntimeError, match="reconstruct"):
+        eng.reconstruct(x)
+
+
+def test_cli_interpolate(tmp_path):
+    """--mode interpolate: first half ↔ second half of the inputs
+    (reference eval surface, main.py:69,76)."""
+    from PIL import Image
+
+    from hopvae_tpu import serving
+    from hopvae_tpu.utils.checkpoint import save_params
+
+    cfg = load_config("mnist_28")
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "m.msgpack"
+    save_params(str(ckpt), params)
+
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(4):
+        p = tmp_path / f"d{i}.png"
+        Image.fromarray((rng.random((28, 28)) * 255).astype(np.uint8)).save(p)
+        files.append(str(p))
+
+    serving.main([
+        "--config", "mnist_28", "--checkpoint", str(ckpt),
+        "--mode", "interpolate", "--out", str(tmp_path / "served"),
+        "--impl", "xla", "--compute-dtype", "float32",
+        *files,
+    ])
+    assert (tmp_path / "served" / "interpolations.png").exists()
+
+    import pytest
+
+    with pytest.raises(SystemExit):  # odd count rejected
+        serving.main([
+            "--config", "mnist_28", "--checkpoint", str(ckpt),
+            "--mode", "interpolate", "--out", str(tmp_path / "served2"),
+            "--impl", "xla", "--compute-dtype", "float32",
+            *files[:3],
+        ])

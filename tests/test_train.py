@@ -435,3 +435,17 @@ def test_local_slice_iteration_and_assembly(monkeypatch):
     assembled = mesh_lib.shard_batch(mesh, full[0], global_batch=8)
     assert assembled.sharding == direct.sharding
     np.testing.assert_array_equal(np.asarray(assembled), np.asarray(direct))
+
+
+def test_apply_overrides_prior_keys_do_not_warn(capsys):
+    """The documented transformer workflow (--set prior_d_model=... etc.)
+    must not emit typo warnings (ADVICE r2)."""
+    from hopvae_tpu.train import apply_overrides
+
+    cfg = load_config("mnist_28")
+    apply_overrides(
+        cfg, ["prior_d_model=64", "prior_heads=2", "prior_attn=blocked"],
+        config_name="mnist_28",
+    )
+    assert capsys.readouterr().err == ""
+    assert cfg.prior_d_model == 64 and cfg.prior_attn == "blocked"
