@@ -83,6 +83,16 @@ class TransformerPrior:
         self.attn = attn
         self.q_block = getattr(config, "prior_q_block", 256)
         self.kv_block = getattr(config, "prior_kv_block", 256)
+        cdt = getattr(config, "prior_cache_dtype", "bfloat16")
+        self.cache_dtype = jnp.bfloat16 if str(cdt) in ("bfloat16", "bf16") else jnp.float32
+        # AR-decode segment length (growing-cache scan, see _decode_all).
+        # Measured 2026-08-17 (v5e): r=8/batch-1024 12,982 samples/s at
+        # seg=64 vs 9,064 unsegmented; r=17/batch-2048 778 at seg=128 vs
+        # 460.  Finer segments win until compile cost explodes (seg=64 at
+        # S=867 is 14 scan bodies).
+        self.decode_segment = getattr(
+            config, "prior_decode_segment", 64 if self.seq <= 256 else 128
+        )
 
     # ------------------------------------------------------------- params
 
@@ -166,6 +176,17 @@ class TransformerPrior:
     # holding positions < t, return position t's logits and updated caches.
     # Shared by the sampler and the teacher-forced `decode_logits` (the
     # cache-correctness test surface).
+    #
+    # Decode-speed notes (measured on the v5e, 2026-08-17): the step is
+    # HBM-bound on reading the caches, so ``prior_cache_dtype`` defaults
+    # to bfloat16 for :meth:`sample` (halves the bytes; scores/softmax
+    # still accumulate f32) while ``decode_logits`` pins f32 caches to
+    # keep the cache-vs-dense exactness gate tight.  A block-structured
+    # cache with a ``lax.cond``-skipped inner scan (read only the valid
+    # prefix) was measured 3.6× SLOWER at r=8 (1.3k vs 4.8k samples/s,
+    # batch 1024) — per-iteration loop/branch overhead dwarfs the ~2×
+    # average bandwidth saving at these sequence lengths; do not
+    # re-attempt without new evidence.
 
     def _decode_step(self, params, caches, x_t, t):
         """x_t (B, d) input embedding for position t → (caches', logits (B, L))."""
@@ -177,18 +198,25 @@ class TransformerPrior:
             q, kk, vv = jnp.split(
                 _ln(x, p["ln1"]) @ p["qkv"]["kernel"] + p["qkv"]["bias"], 3, axis=-1
             )
+            cdt = cache["k"].dtype
             k_cache = jax.lax.dynamic_update_slice(
-                cache["k"], kk.reshape(b, 1, h, dh), (0, t, 0, 0)
+                cache["k"], kk.reshape(b, 1, h, dh).astype(cdt), (0, t, 0, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                cache["v"], vv.reshape(b, 1, h, dh), (0, t, 0, 0)
+                cache["v"], vv.reshape(b, 1, h, dh).astype(cdt), (0, t, 0, 0)
             )
             new_caches.append({"k": k_cache, "v": v_cache})
             q = q.reshape(b, h, dh)
-            scores = jnp.einsum("bhd,bkhd->bhk", q, k_cache) / jnp.sqrt(float(dh))
+            scores = jnp.einsum(
+                "bhd,bkhd->bhk", q, k_cache.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(float(dh))
             valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) <= t
             att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
-            y = jnp.einsum("bhk,bkhd->bhd", att, v_cache).reshape(b, self.d)
+            y = jnp.einsum(
+                "bhk,bkhd->bhd", att.astype(q.dtype), v_cache.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype).reshape(b, self.d)
             x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
             z = _ln(x, p["ln2"])
             z = jax.nn.gelu(z @ p["mlp_in"]["kernel"] + p["mlp_in"]["bias"])
@@ -196,31 +224,84 @@ class TransformerPrior:
         logits = _ln(x, params["ln_f"]) @ params["head"]["kernel"] + params["head"]["bias"]
         return new_caches, logits
 
-    def _empty_caches(self, b):
+    def _empty_caches(self, b, dtype=jnp.float32, length: int | None = None):
         h, dh = self.heads, self.d // self.heads
+        length = self.seq if length is None else length
         return [
-            {"k": jnp.zeros((b, self.seq, h, dh)), "v": jnp.zeros((b, self.seq, h, dh))}
+            {
+                "k": jnp.zeros((b, length, h, dh), dtype),
+                "v": jnp.zeros((b, length, h, dh), dtype),
+            }
             for _ in range(self.n_layers)
         ]
 
-    def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
-        """KV-cached AR draw: one ``lax.scan`` over the S positions."""
-        params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
-        b, s = num_samples, self.seq
+    def _decode_all(self, params, b, x_of, emit, extra_init, cache_dtype):
+        """AR decode over all S positions as ``nb`` growing-cache segments.
 
-        def body(carry, t):
-            caches, tok_prev = carry
-            x_t = jnp.where(
+        The decode step is HBM-bound on reading the caches, and a fixed
+        full-length cache reads S·(bytes/token) EVERY step.  Segment k
+        (positions [kT, min((k+1)T, S))) instead scans with a cache of
+        STATIC length min((k+1)T, S) — grown by concatenation between
+        segments — so the average step reads ~(S+T)/2 tokens instead of
+        S.  No dynamic branching (a per-step ``lax.cond`` block-skip was
+        measured 3.6× slower); just nb statically-shaped scans.
+
+        ``x_of(extra, t) -> (B, d)`` produces the step input;
+        ``emit(extra, t, logits) -> (extra', out)`` consumes the step
+        logits.  Returns the stacked outs over all S positions.
+        """
+        s, T = self.seq, min(self.decode_segment, self.seq)
+        nb = -(-s // T)
+        caches = self._empty_caches(b, cache_dtype, length=min(T, s))
+        extra = extra_init
+        outs = []
+        for k in range(nb):
+            if k:
+                grow = min((k + 1) * T, s) - k * T
+                caches = [
+                    {
+                        "k": jnp.concatenate(
+                            [c["k"], jnp.zeros((b, grow) + c["k"].shape[2:], cache_dtype)],
+                            axis=1,
+                        ),
+                        "v": jnp.concatenate(
+                            [c["v"], jnp.zeros((b, grow) + c["v"].shape[2:], cache_dtype)],
+                            axis=1,
+                        ),
+                    }
+                    for c in caches
+                ]
+
+            def seg_body(carry, t):
+                caches, extra = carry
+                caches, logits = self._decode_step(params, caches, x_of(extra, t), t)
+                extra, out = emit(extra, t, logits)
+                return (caches, extra), out
+
+            (caches, extra), seg_outs = jax.lax.scan(
+                seg_body, (caches, extra), jnp.arange(k * T, min((k + 1) * T, s))
+            )
+            outs.append(seg_outs)
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
+        """KV-cached AR draw — segmented scan over the S positions."""
+        params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
+        b = num_samples
+
+        def x_of(tok_prev, t):
+            return jnp.where(
                 t == 0,
                 jnp.broadcast_to(params["bos"], (b, self.d)),
                 params["tok_emb"][tok_prev],
             ) + params["pos_emb"][t]
-            caches, logits = self._decode_step(params, caches, x_t, t)
-            draw = jax.random.categorical(jax.random.fold_in(key, t), logits, axis=-1)
-            return (caches, draw), draw
 
-        (_, _), draws = jax.lax.scan(
-            body, (self._empty_caches(b), jnp.zeros((b,), jnp.int32)), jnp.arange(s)
+        def emit(tok_prev, t, logits):
+            draw = jax.random.categorical(jax.random.fold_in(key, t), logits, axis=-1)
+            return draw, draw
+
+        draws = self._decode_all(
+            params, b, x_of, emit, jnp.zeros((b,), jnp.int32), self.cache_dtype
         )
         grid = draws.T.reshape(b, self.representation_dim, self.representation_dim, self.index_dim)
         return grid.astype(jnp.float32)
@@ -228,21 +309,22 @@ class TransformerPrior:
     def decode_logits(self, params, grid: jax.Array) -> jax.Array:
         """Teacher-forced logits through the SAME KV-cached decode path as
         :meth:`sample` — must match :meth:`forward` (cache-correctness
-        gate; see tests)."""
+        gate; see tests).  Caches pinned f32 here so the gate stays tight."""
         params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
         b = grid.shape[0]
         tokens = grid.astype(jnp.int32).reshape(b, self.seq)
 
-        def body(caches, t):
-            x_t = jnp.where(
+        def x_of(extra, t):
+            return jnp.where(
                 t == 0,
                 jnp.broadcast_to(params["bos"], (b, self.d)),
                 params["tok_emb"][tokens[:, jnp.maximum(t - 1, 0)]],
             ) + params["pos_emb"][t]
-            caches, logits = self._decode_step(params, caches, x_t, t)
-            return caches, logits
 
-        _, logits = jax.lax.scan(body, self._empty_caches(b), jnp.arange(self.seq))
+        def emit(extra, t, logits):
+            return extra, logits
+
+        logits = self._decode_all(params, b, x_of, emit, jnp.zeros(()), jnp.float32)
         logits = jnp.moveaxis(logits, 0, 1)  # (B, S, L)
         return logits.reshape(
             b, self.representation_dim, self.representation_dim,
