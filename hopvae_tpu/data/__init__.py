@@ -90,8 +90,9 @@ def load_cifar10(path: str) -> tuple | None:
 
 
 def list_image_files(path: str) -> list:
-    """Sorted recursive listing of image files under ``path``."""
-    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    """Sorted recursive listing of image files under ``path`` (``.npy`` =
+    pre-resized uint8 HWC arrays, the decode-free streaming format)."""
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".npy")
     if not path or not os.path.isdir(path):
         return []
     return sorted(
@@ -102,17 +103,32 @@ def list_image_files(path: str) -> list:
     )
 
 
-def load_image_folder(path: str, image_size: int) -> np.ndarray | None:
-    """Flat/recursive folder of images → (N, H, W, 3) uint8 (FFHQ-style)."""
+def _read_image_uint8(path: str, image_size: int) -> np.ndarray:
+    """One file → (H, W, 3) uint8. ``.npy`` must be pre-resized."""
+    if path.endswith(".npy"):
+        a = np.load(path)
+        if a.shape != (image_size, image_size, 3):
+            raise ValueError(
+                f"{path}: expected pre-resized ({image_size},{image_size},3) "
+                f"uint8, got {a.shape}"
+            )
+        return np.asarray(a, np.uint8)
     from PIL import Image
 
+    img = Image.open(path).convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img)
+
+
+def load_image_folder(path: str, image_size: int) -> np.ndarray | None:
+    """Flat/recursive folder of images → (N, H, W, 3) uint8 (FFHQ-style)."""
     files = list_image_files(path)
     if not files:
         return None
     out = np.empty((len(files), image_size, image_size, 3), np.uint8)
     for i, fp in enumerate(files):
-        img = Image.open(fp).convert("RGB").resize((image_size, image_size), Image.BILINEAR)
-        out[i] = np.asarray(img)
+        out[i] = _read_image_uint8(fp, image_size)
     return out
 
 
@@ -177,26 +193,49 @@ class LazyImageFolder:
     path that survives FFHQ-at-full-resolution — nothing is ever
     materialized beyond one batch (VERDICT r1 "streaming data input").
     Combine with ``iterate_batches(..., prefetch=N)`` to overlap the host
-    IO with device compute."""
+    IO with device compute.
 
-    def __init__(self, files: list, image_size: int, data_set: str = "FFHQ"):
+    Throughput notes (the device consumes 33k img/s at FFHQ-64 training —
+    a serial PIL decode at ~0.3 ms/image cannot feed it):
+
+    - decode fans out over a thread pool (PIL's inflate/resize release
+      the GIL) — sized to the host's cores, a no-op on 1-vCPU hosts;
+    - ``.npy`` files (pre-resized uint8 HWC arrays) bypass PNG inflate
+      entirely — wins when decode dominates (large images, multi-core
+      hosts); at 64×64 both formats are syscall- not decode-bound and
+      measure within noise of each other (BASELINE.md "input pipeline").
+
+    When the whole dataset fits the ``Trainer`` HBM budget, prefer an
+    in-memory dataset: it is staged to the device once and batches are
+    gathered on-device, taking the host pipeline out of the loop
+    entirely (``Trainer._device_data``).
+    """
+
+    def __init__(self, files: list, image_size: int, data_set: str = "FFHQ",
+                 decode_threads: int | None = None):
         self.files = list(files)
         self.image_size = image_size
         self.data_set = data_set
+        n = decode_threads if decode_threads is not None else min(8, os.cpu_count() or 1)
+        self._pool = None
+        if n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=n, thread_name_prefix="decode")
 
     def __len__(self):
         return len(self.files)
 
-    def gather(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        from PIL import Image
+    def _read_one(self, path: str) -> np.ndarray:
+        return _read_image_uint8(path, self.image_size)
 
-        s = self.image_size
-        out = np.empty((len(idx), s, s, 3), np.uint8)
-        for j, i in enumerate(np.asarray(idx)):
-            img = Image.open(self.files[int(i)]).convert("RGB")
-            if img.size != (s, s):
-                img = img.resize((s, s), Image.BILINEAR)
-            out[j] = np.asarray(img)
+    def gather(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        paths = [self.files[int(i)] for i in np.asarray(idx)]
+        if self._pool is not None:
+            imgs = list(self._pool.map(self._read_one, paths))
+        else:
+            imgs = [self._read_one(p) for p in paths]
+        out = np.stack(imgs) if imgs else np.empty((0, self.image_size, self.image_size, 3), np.uint8)
         return _normalize(out, self.data_set), np.zeros(len(idx), np.int64)
 
 

@@ -107,33 +107,79 @@ class Trainer:
         recon_error = jnp.mean((x_recon - x) ** 2)
         return recon_error + aux, (recon_error, aux)
 
+    def _step_core(self, fit_prior: bool):
+        """loss+grads+update for one batch → (params, opt_state, metrics)."""
+        watch = getattr(self, "watch_gradients", False)
+
+        def common(params, opt_state, x):
+            (loss, (recon, aux)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, x, fit_prior)
+            metrics = {"loss": loss, "recon_error": recon, "aux": aux}
+            if watch:
+                # the reference's wandb.watch(model, log="all")
+                # (main.py:109) equivalent: global + per-module grad
+                # norms and log-magnitude histograms, fused into the
+                # step (stays on device; fetched once per epoch)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                for k, sub in grads.items():
+                    leaves = jax.tree_util.tree_leaves(sub)
+                    if leaves:
+                        metrics[f"grad_norm/{k}"] = optax.global_norm(sub)
+                        metrics[f"grad_hist/{k}"] = _log_magnitude_histogram(leaves)
+            updates, opt_state = self._tx[fit_prior].update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return common
+
     def train_step(self, fit_prior: bool):
-        if fit_prior not in self._train_step:
-            watch = getattr(self, "watch_gradients", False)
+        key = fit_prior
+        if key not in self._train_step:
+            common = self._step_core(fit_prior)
 
-            @functools.partial(jax.jit, static_argnums=(), donate_argnums=(0, 1))
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
             def step(params, opt_state, x):
-                (loss, (recon, aux)), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True
-                )(params, x, fit_prior)
-                metrics = {"loss": loss, "recon_error": recon, "aux": aux}
-                if watch:
-                    # the reference's wandb.watch(model, log="all")
-                    # (main.py:109) equivalent: global + per-module grad
-                    # norms and log-magnitude histograms, fused into the
-                    # step (stays on device; fetched once per epoch)
-                    metrics["grad_norm"] = optax.global_norm(grads)
-                    for key, sub in grads.items():
-                        leaves = jax.tree_util.tree_leaves(sub)
-                        if leaves:
-                            metrics[f"grad_norm/{key}"] = optax.global_norm(sub)
-                            metrics[f"grad_hist/{key}"] = _log_magnitude_histogram(leaves)
-                updates, opt_state = self._tx[fit_prior].update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, metrics
+                return common(params, opt_state, x)
 
-            self._train_step[fit_prior] = step
-        return self._train_step[fit_prior]
+            self._train_step[key] = step
+        return self._train_step[key]
+
+    def epoch_step(self, fit_prior: bool):
+        """Whole-epoch step for device-resident data: ONE dispatch runs a
+        ``lax.scan`` over the epoch's (K, B) shuffled index matrix,
+        gathering each batch from the staged dataset on device and
+        stacking the per-step metrics as scan outputs.
+
+        Why one dispatch: on a high-latency-attached host every jitted
+        call pays a synchronous roundtrip (~30-60 ms on this rig's
+        tunneled backend — 8× the 8 ms device step), so per-step
+        dispatch caps wall-clock training at a small fraction of device
+        throughput no matter how the data arrives. Measured
+        (tools/epoch_fuse_probe.py, 2026-08-17): the scan body runs
+        within 5% of the solo harness step (8.0 vs 7.8 ms at batch 256,
+        production Pallas path), metric stacking and the on-device
+        gather are both free. An earlier 3.2× scan slowdown recorded
+        here did NOT reproduce under the isolation probe and is
+        retracted as a measurement artifact."""
+        key = (fit_prior, "epoch")
+        if key not in self._train_step:
+            common = self._step_core(fit_prior)
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def run(params, opt_state, data, idx):
+                def body(carry, ib):
+                    p, o = carry
+                    p, o, m = common(p, o, data[ib])
+                    return (p, o), m
+
+                (params, opt_state), ms = jax.lax.scan(
+                    body, (params, opt_state), idx
+                )
+                return params, opt_state, ms
+
+            self._train_step[key] = run
+        return self._train_step[key]
 
     @functools.cached_property
     def eval_step(self):
@@ -171,6 +217,11 @@ class Trainer:
     ):
         """Run the training loop; returns ``(params, opt_state)``.
 
+        ``eval_every=0`` / ``save_every=0`` disable eval / checkpointing
+        entirely (including the final-epoch save) — for throughput probes.
+        Any positive period keeps the reference's modulo quirk: epoch 0
+        always evaluates and saves (``main.py:118-124``).
+
         NOTE: the incoming ``params`` buffers are donated into the jitted
         train step — treat them as consumed and use the returned pytree
         (functional-update contract; snapshot with ``jax.device_get`` first
@@ -181,23 +232,31 @@ class Trainer:
         steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
         logger = MetricLogger(out_dir, wandb_config=cfg.to_dict())
 
-        # the optimizer (and its schedule, keyed on steps_per_epoch) is
-        # rebuilt per fit(); compiled steps traced against a previous
-        # optimizer must not be reused
-        self._train_step = {}
-        self._tx = {
-            False: make_optimizer(cfg, steps_per_epoch, prior_only=False, params=params),
-            True: make_optimizer(cfg, steps_per_epoch, prior_only=True, params=params),
-        }
+        # the optimizer (and its schedule, keyed on steps_per_epoch) and
+        # the steps traced against it are cached on everything they
+        # actually depend on — cfg is fixed per Trainer, so that's the
+        # schedule length and the param tree structure (the prior-only
+        # mask). Repeated fit() calls on the same shapes then reuse the
+        # compiled steps instead of re-tracing (a re-trace of the
+        # epoch-fused scan costs ~45 s of wall time on the tunneled
+        # backend even with a warm compile cache).
+        tx_key = (steps_per_epoch, jax.tree_util.tree_structure(params))
+        if getattr(self, "_tx_key", None) != tx_key:
+            self._train_step = {}
+            self._tx = {
+                False: make_optimizer(cfg, steps_per_epoch, prior_only=False, params=params),
+                True: make_optimizer(cfg, steps_per_epoch, prior_only=True, params=params),
+            }
+            self._tx_key = tx_key
 
         if resume:
             params, start_epoch = self._try_resume(params, out_dir, start_epoch)
         params = mesh_lib.shard_params(self.mesh, params, shard_patterns=self.shard_patterns)
         has_prior = bool(jax.tree_util.tree_leaves(params["prior"]))
         fit_prior = start_epoch > cfg.prior_start and has_prior
-        opt_state = self._tx[fit_prior].init(params)
+        opt_state = self._commit_replicated(self._tx[fit_prior].init(params))
         if resume and start_epoch > 0:
-            opt_state = self._try_resume_opt(opt_state, out_dir)
+            opt_state = self._commit_replicated(self._try_resume_opt(opt_state, out_dir))
 
         for epoch in range(start_epoch, epochs):
             if epoch > cfg.prior_start and not fit_prior and has_prior:
@@ -207,14 +266,8 @@ class Trainer:
                 # (torch Adam over an empty param list); silently freezing
                 # everything and burning epochs would be worse.
                 fit_prior = True
-                opt_state = self._tx[True].init(params)
+                opt_state = self._commit_replicated(self._tx[True].init(params))
 
-            step = self.train_step(fit_prior)
-            # accumulate on device; fetch ONCE per epoch (a per-step float()
-            # would sync through the ~29ms-roundtrip tunnel every step)
-            epoch_sum = jnp.zeros(())
-            grad_sums = {}
-            n_batches = 0
             # multi-host: each process reads/decodes only its own slice of
             # every global batch (the shuffle order is seed-agreed)
             multi = jax.process_count() > 1
@@ -223,73 +276,218 @@ class Trainer:
                 if multi
                 else None
             )
-            t_epoch = time.perf_counter()
-            for bx, _ in iterate_batches(
-                train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
-                drop_remainder=True, prefetch=2, local_slice=local,
-            ):
-                bx = mesh_lib.shard_batch(
-                    self.mesh, bx, global_batch=cfg.batch_size if multi else None
-                )
-                params, opt_state, m = step(params, opt_state, bx)
-                epoch_sum = epoch_sum + m["recon_error"] + m["aux"]
-                for k, v in m.items():
-                    if k.startswith("grad_hist"):
-                        # collect per-step (16,) int32 counts and reduce on
-                        # host in int64 at epoch end: device int32 sums
-                        # wrap past 2^31 (~4× the current ~5e8
-                        # counts/bin/epoch), and a per-step host fetch
-                        # would sync the ~29ms tunnel every step
-                        grad_sums.setdefault(k, []).append(v)
-                    elif k.startswith("grad_norm"):
-                        grad_sums[k] = v if k not in grad_sums else grad_sums[k] + v
-                n_batches += 1
-            epoch_sum = float(epoch_sum)  # blocks on the last step
-            # wall-clock throughput WITH the host input pipeline included —
-            # the honest number to hold against the device-only bench
-            # figures (utils/benchmark.py); a gap means the host (decode,
-            # prefetch depth) is starving the chip
-            elapsed = time.perf_counter() - t_epoch
+            device_data = self._device_data(train_ds)
 
-            record = {
-                # reference metric name + normalization quirk (main.py:41-43)
-                "Train Reconstruction Error": epoch_sum / len(train_ds),
-                "train_loss_per_batch": epoch_sum / max(n_batches, 1),
-                "epoch": epoch,
-                "fit_prior": fit_prior,
-                "epoch_seconds": elapsed,
-                "steps_per_sec": n_batches / max(elapsed, 1e-9),
-                "images_per_sec": n_batches * cfg.batch_size / max(elapsed, 1e-9),
-            }
-            for k, v in grad_sums.items():
-                if k.startswith("grad_hist"):
-                    # one device→host fetch of the stacked per-step counts,
-                    # summed in int64 (overflow-proof)
-                    record[k] = (
-                        np.asarray(jnp.stack(v)).astype(np.int64).sum(axis=0).tolist()
+            t_epoch = time.perf_counter()
+            if device_data is not None:
+                # device-resident fast path: one dispatch runs the whole
+                # epoch (lax.scan over the shuffled (K, B) index matrix,
+                # on-device batch gather, metrics stacked as scan
+                # outputs). Same shuffle order as the streaming path; see
+                # ``epoch_step`` for the measurements behind the design.
+                idx = np.arange(len(train_ds))
+                np.random.default_rng(cfg.seed + epoch).shuffle(idx)
+                n_batches = len(idx) // cfg.batch_size
+                idx_dev = jnp.asarray(
+                    idx[: n_batches * cfg.batch_size].reshape(
+                        n_batches, cfg.batch_size
+                    ),
+                    jnp.int32,
+                )
+                params, opt_state, ms = self.epoch_step(fit_prior)(
+                    params, opt_state, device_data, idx_dev
+                )
+                parts = {k: v for k, v in ms.items() if k != "loss"}
+            else:
+                # streaming path: per-step dispatch; collect per-step
+                # metric scalars WITHOUT dispatching any op (even a
+                # scalar add costs a dispatch — ~2 ms on a tunneled
+                # backend, rivaling the step itself)
+                step = self.train_step(fit_prior)
+                parts = {}
+                n_batches = 0
+                for bx, _ in iterate_batches(
+                    train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                    drop_remainder=True, prefetch=2, local_slice=local,
+                ):
+                    bx = mesh_lib.shard_batch(
+                        self.mesh, bx, global_batch=cfg.batch_size if multi else None
                     )
-                else:
-                    record[k] = float(v) / max(n_batches, 1)
+                    params, opt_state, m = step(params, opt_state, bx)
+                    for k, v in m.items():
+                        if k != "loss":
+                            parts.setdefault(k, []).append(v)
+                    n_batches += 1
+
+            base = {"epoch": epoch, "fit_prior": fit_prior}
             if self.watch_gradients:
                 # wandb.watch(log="all") also histograms the weights; once
-                # per epoch on host (params ≈ 1.5 MB — one cheap fetch)
+                # per epoch on host (params ≈ 1.5 MB — one fetch, which
+                # also synchronizes — acceptable for a debug aid)
                 for key, sub in params.items():
                     leaves = jax.tree_util.tree_leaves(sub)
                     if leaves:
                         flat = np.concatenate(
                             [np.ravel(self._fetch(l)).astype(np.float32) for l in leaves]
                         )
-                        record[f"param_hist/{key}"] = np.histogram(
+                        base[f"param_hist/{key}"] = np.histogram(
                             np.log10(np.abs(flat) + 1e-12), bins=HIST_BINS, range=HIST_RANGE
                         )[0].tolist()
-            logger.log(record, step=epoch)
+            # metric fetch + JSONL write happen on the logging thread —
+            # the epoch-end device→host fetch otherwise serializes every
+            # epoch on the host↔device roundtrip while the chip sits idle
+            self._log_async(
+                logger, base, parts, n_batches, len(train_ds), cfg.batch_size, t_epoch
+            )
 
-            if not epoch % eval_every:
+            if eval_every and not epoch % eval_every:
                 self.evaluate(params, test_ds, out_dir=out_dir, epoch=epoch, logger=logger)
-            if not epoch % save_every or epoch == epochs - 1:
+            if save_every and (not epoch % save_every or epoch == epochs - 1):
                 self.save(params, opt_state, epoch, out_dir)
 
+        self._drain_log_worker()
         return params, opt_state
+
+    # ----------------------------------------------- async metric logging
+
+    def _log_async(self, logger, base, parts, n_batches, n_data, batch_size, t_start):
+        """Queue the epoch's metric reduction + JSONL write to a worker
+        thread. The worker's fetch blocks until the epoch's device work is
+        done, so its completion time gives an honest epoch duration while
+        the main thread is already dispatching the next epoch."""
+        import queue
+        import threading
+
+        if not hasattr(self, "_logq"):
+            self._logq = queue.Queue(maxsize=4)
+            self._log_errors = []
+
+            def worker():
+                while True:
+                    item = self._logq.get()
+                    if item is None:
+                        return
+                    try:
+                        self._last_epoch_done = self._write_epoch_record(
+                            *item, t_prev_done=getattr(self, "_last_epoch_done", None)
+                        )
+                    except Exception as e:  # surfaced by _drain_log_worker
+                        self._log_errors.append(e)
+
+            self._log_thread = threading.Thread(target=worker, daemon=True)
+            self._log_thread.start()
+        self._logq.put((logger, base, parts, n_batches, n_data, batch_size, t_start))
+
+    def _drain_log_worker(self):
+        if hasattr(self, "_logq"):
+            self._logq.put(None)
+            self._log_thread.join()
+            del self._logq
+            self._last_epoch_done = None  # next fit() starts fresh
+            errors, self._log_errors = self._log_errors, []
+            if errors:
+                raise errors[0]
+
+    @staticmethod
+    def _write_epoch_record(
+        logger, base, parts, n_batches, n_data, batch_size, t_start, *, t_prev_done=None
+    ):
+        record = dict(base)
+        epoch_sum = 0.0
+        for k, vs in parts.items():
+            arr = np.asarray(jnp.stack(vs) if isinstance(vs, list) else vs)
+            if k in ("recon_error", "aux"):
+                # float64 host sum of the per-step f32 means (same values
+                # whichever epoch path produced them)
+                epoch_sum += float(arr.astype(np.float64).sum())
+            elif k.startswith("grad_hist"):
+                # int64 host sum: device int32 wraps past 2^31 (~4× the
+                # current ~5e8 counts/bin/epoch)
+                record[k] = arr.astype(np.int64).sum(axis=0).tolist()
+            elif k.startswith("grad_norm"):
+                record[k] = float(arr.astype(np.float64).sum()) / max(n_batches, 1)
+        # the fetches above blocked until the epoch's device work landed.
+        # Epochs PIPELINE (the main thread dispatches epoch k+1 while this
+        # worker waits on epoch k), so "now - t_start" double-counts
+        # overlapped work; the marginal duration — time since the previous
+        # epoch's completion — is the honest steady-state epoch cost, and
+        # its throughput the honest wall-clock number (input pipeline
+        # included) to hold against device-only bench figures.
+        done = time.perf_counter()
+        elapsed = done - (t_start if t_prev_done is None else max(t_start, t_prev_done))
+        record.update(
+            {
+                # reference metric name + normalization quirk (main.py:41-43)
+                "Train Reconstruction Error": epoch_sum / n_data,
+                "train_loss_per_batch": epoch_sum / max(n_batches, 1),
+                "epoch_seconds": elapsed,
+                "steps_per_sec": n_batches / max(elapsed, 1e-9),
+                "images_per_sec": n_batches * batch_size / max(elapsed, 1e-9),
+            }
+        )
+        logger.log(record, step=base["epoch"])
+        return done
+
+    def _commit_replicated(self, tree):
+        """Commit any uncommitted leaves of ``tree`` to the replicated
+        sharding on the trainer's mesh.
+
+        Fresh optax state mixes sharding-inheriting leaves (mu/nu via
+        ``zeros_like(params)`` → NamedSharding from ``shard_params``) with
+        uncommitted scalars (the step counts from ``jnp.zeros([])``). The
+        jit cache keys on input shardings, so epoch 0 (uncommitted counts
+        in) and epoch 1+ (committed NamedSharding counts, as returned by
+        the previous epoch's jitted step) would otherwise compile the
+        train step TWICE — ~13 s per extra compile of the epoch-fused
+        scan on the tunneled backend, measured via jax_log_compiles."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+
+        def put(l):
+            if isinstance(l, jax.Array) and not getattr(l, "committed", True):
+                return jax.device_put(l, rep)
+            return l
+
+        return jax.tree_util.tree_map(put, tree)
+
+    # ------------------------------------------------- device-resident data
+
+    # datasets up to this many bytes are staged to HBM once and gathered
+    # per-batch on device (override with HOPVAE_DEVICE_DATA_MAX; 0 disables)
+    DEVICE_DATA_MAX_BYTES = 1 << 30
+
+    def _device_data(self, train_ds):
+        """Stage an in-memory dataset's images to the device ONCE (cached
+        per dataset identity), when eligible: single device, single
+        process, a materialized ``.images`` array within the size budget.
+
+        Why: every train step otherwise ships the full pixel batch
+        host→device. On a fast-attached TPU-VM that is noise; on a
+        high-latency link it dominates wall-clock (measured on this rig:
+        ~196 ms to put a 3 MB batch vs ~2 ms to dispatch a step — the
+        gap between 700 and 20k+ images/sec of wall-clock training).
+        Multi-device/host setups keep the per-host streaming path, where
+        each process feeds only its addressable shards."""
+        import os as _os
+
+        budget = int(_os.environ.get("HOPVAE_DEVICE_DATA_MAX", self.DEVICE_DATA_MAX_BYTES))
+        images = getattr(train_ds, "images", None)
+        if (
+            budget <= 0
+            or images is None
+            or not hasattr(images, "nbytes")
+            or images.nbytes > budget
+            or self.mesh.devices.size != 1
+            or jax.process_count() > 1
+        ):
+            return None
+        cached = getattr(self, "_staged_data", None)
+        if cached is not None and cached[0] is images:
+            return cached[1]
+        staged = jax.device_put(np.asarray(images, np.float32), self.mesh.devices.flat[0])
+        self._staged_data = (images, staged)
+        return staged
 
     # -------------------------------------------------------------- eval
 

@@ -21,10 +21,15 @@ class MetricLogger:
     AND ``WANDB_PROJECT`` is set; this machine has no network)."""
 
     def __init__(self, out_dir: str, wandb_config: dict | None = None):
+        import threading
+
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self._path = os.path.join(out_dir, "metrics.jsonl")
         self._step = 0
+        # the Trainer logs epoch records from its async metric thread while
+        # eval records come from the main thread — serialize the appends
+        self._lock = threading.Lock()
         self._wandb = None
         if os.environ.get("WANDB_PROJECT"):
             try:
@@ -45,8 +50,10 @@ class MetricLogger:
             {k: (float(v) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else v)
              for k, v in metrics.items()}
         )
-        with open(self._path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        line = json.dumps(rec) + "\n"
+        with self._lock:
+            with open(self._path, "a") as f:
+                f.write(line)
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in rec.items() if k != "time"})
 

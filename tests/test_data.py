@@ -198,3 +198,40 @@ def test_serving_npy_inputs_validated(tmp_path):
     np.save(bad, np.zeros((16, 16), np.float32))
     with pytest.raises(ValueError, match="expected shape"):
         _load_images([bad], cfg)
+
+
+def test_npy_streaming_and_threaded_decode(tmp_path):
+    """.npy files (pre-resized uint8 HWC — the decode-free streaming
+    format) must serve identically to PNGs of the same pixels, including
+    through the thread-pool decode path."""
+    from PIL import Image
+
+    from hopvae_tpu.data import LazyImageFolder, list_image_files
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((6, 16, 16, 3)) * 255).astype(np.uint8)
+    for i, a in enumerate(imgs):
+        Image.fromarray(a).save(tmp_path / f"png_{i}.png")
+        np.save(tmp_path / f"npy_{i}.npy", a)
+
+    files = list_image_files(str(tmp_path))
+    assert len(files) == 12  # both formats listed
+
+    png = LazyImageFolder(sorted(f for f in files if f.endswith(".png")), 16)
+    npy = LazyImageFolder(sorted(f for f in files if f.endswith(".npy")), 16)
+    threaded = LazyImageFolder(
+        sorted(f for f in files if f.endswith(".npy")), 16, decode_threads=4
+    )
+    idx = np.array([3, 0, 5])
+    x_png, _ = png.gather(idx)
+    x_npy, _ = npy.gather(idx)
+    x_thr, _ = threaded.gather(idx)
+    np.testing.assert_array_equal(x_png, x_npy)
+    np.testing.assert_array_equal(x_npy, x_thr)
+
+    # wrong-shape .npy fails loudly, not silently
+    np.save(tmp_path / "bad.npy", np.zeros((4, 4, 3), np.uint8))
+    import pytest
+
+    with pytest.raises(ValueError, match="pre-resized"):
+        LazyImageFolder([str(tmp_path / "bad.npy")], 16).gather(np.array([0]))

@@ -449,3 +449,37 @@ def test_apply_overrides_prior_keys_do_not_warn(capsys):
     )
     assert capsys.readouterr().err == ""
     assert cfg.prior_d_model == 64 and cfg.prior_attn == "blocked"
+
+
+def test_device_resident_data_matches_streaming(tmp_path, monkeypatch):
+    """The device-resident fast path (stage once + on-device batch gather)
+    must produce bit-identical training metrics to the host-streaming
+    path — same shuffle order, same math."""
+    cfg = _tiny_cfg(batch=8)
+    cfg.epochs = 2
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    train_ds, _, test_ds = get_datasets(cfg, None)
+    train_ds.images, train_ds.labels = train_ds.images[:32], train_ds.labels[:32]
+    test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+
+    mesh1 = mesh_lib.make_mesh(devices=jax.devices()[:1])
+
+    def run(out, enabled):
+        monkeypatch.setenv("HOPVAE_DEVICE_DATA_MAX", str((1 << 30) if enabled else 0))
+        tr = Trainer(model, cfg, mesh=mesh1)
+        p = jax.device_get(params)
+        tr.fit(p, train_ds, test_ds, epochs=2, out_dir=str(out), eval_every=10, save_every=10)
+        return [
+            json.loads(l)["Train Reconstruction Error"]
+            for l in open(out / "metrics.jsonl")
+            if "Train Reconstruction Error" in l
+        ]
+
+    fast = run(tmp_path / "fast", True)
+    slow = run(tmp_path / "slow", False)
+    assert len(fast) == 2
+    # same data, same shuffle order, same step math; the on-device gather
+    # may fuse/reorder reductions differently than the host-fed step, so
+    # allow last-bit float drift
+    np.testing.assert_allclose(fast, slow, rtol=1e-5)
