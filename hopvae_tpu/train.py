@@ -166,11 +166,19 @@ class Trainer:
         if key not in self._train_step:
             common = self._step_core(fit_prior)
 
+            bsh = mesh_lib.batch_sharding(self.mesh)
+
             @functools.partial(jax.jit, donate_argnums=(0, 1))
             def run(params, opt_state, data, idx):
                 def body(carry, ib):
                     p, o = carry
-                    p, o, m = common(p, o, data[ib])
+                    # data is replicated on the mesh, so the gather is a
+                    # local take; the constraint reshards the gathered
+                    # batch over the data axis — replicated→sharded is a
+                    # free local slice, no collective (scaling-book
+                    # recipe: annotate, let XLA place the rest)
+                    x = jax.lax.with_sharding_constraint(data[ib], bsh)
+                    p, o, m = common(p, o, x)
                     return (p, o), m
 
                 (params, opt_state), ms = jax.lax.scan(
@@ -458,17 +466,25 @@ class Trainer:
     DEVICE_DATA_MAX_BYTES = 1 << 30
 
     def _device_data(self, train_ds):
-        """Stage an in-memory dataset's images to the device ONCE (cached
-        per dataset identity), when eligible: single device, single
-        process, a materialized ``.images`` array within the size budget.
+        """Stage an in-memory dataset's images to the mesh ONCE (cached
+        per dataset identity), when eligible: single process, a
+        materialized ``.images`` array within the per-device size budget.
 
         Why: every train step otherwise ships the full pixel batch
         host→device. On a fast-attached TPU-VM that is noise; on a
         high-latency link it dominates wall-clock (measured on this rig:
         ~196 ms to put a 3 MB batch vs ~2 ms to dispatch a step — the
         gap between 700 and 20k+ images/sec of wall-clock training).
-        Multi-device/host setups keep the per-host streaming path, where
-        each process feeds only its addressable shards."""
+
+        Multi-device meshes stage the dataset REPLICATED: the per-batch
+        gather then stays device-local, and ``epoch_step``'s sharding
+        constraint turns the gathered batch into a data-sharded array
+        with a free local slice. The alternative — sharding the dataset
+        over ``data`` on the sample axis — would save HBM (1/n per
+        device) but turns every shuffled-batch gather into an
+        all-to-all; datasets too big to replicate belong on the
+        streaming path. Multi-PROCESS setups also keep the streaming
+        path, where each host feeds only its addressable shards."""
         import os as _os
 
         budget = int(_os.environ.get("HOPVAE_DEVICE_DATA_MAX", self.DEVICE_DATA_MAX_BYTES))
@@ -478,14 +494,18 @@ class Trainer:
             or images is None
             or not hasattr(images, "nbytes")
             or images.nbytes > budget
-            or self.mesh.devices.size != 1
             or jax.process_count() > 1
         ):
             return None
         cached = getattr(self, "_staged_data", None)
         if cached is not None and cached[0] is images:
             return cached[1]
-        staged = jax.device_put(np.asarray(images, np.float32), self.mesh.devices.flat[0])
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        staged = jax.device_put(
+            np.asarray(images, np.float32),
+            NamedSharding(self.mesh, PartitionSpec()),
+        )
         self._staged_data = (images, staged)
         return staged
 

@@ -483,3 +483,38 @@ def test_device_resident_data_matches_streaming(tmp_path, monkeypatch):
     # may fuse/reorder reductions differently than the host-fed step, so
     # allow last-bit float drift
     np.testing.assert_allclose(fast, slow, rtol=1e-5)
+
+
+def test_device_resident_data_multi_device(tmp_path, monkeypatch):
+    """The device-resident epoch path on a multi-device mesh (dataset
+    staged replicated, per-batch gather local, batch resharded over the
+    data axis by the scan body's sharding constraint) must match the
+    single-device device-resident metrics — same shuffle, same math,
+    just sharded. Covers both a pure data mesh and a (data, model) mesh."""
+    cfg = _tiny_cfg(batch=8)
+    cfg.epochs = 2
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    train_ds, _, test_ds = get_datasets(cfg, None)
+    train_ds.images, train_ds.labels = train_ds.images[:32], train_ds.labels[:32]
+    test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+
+    monkeypatch.setenv("HOPVAE_DEVICE_DATA_MAX", str(1 << 30))
+
+    def run(out, mesh):
+        tr = Trainer(model, cfg, mesh=mesh)
+        assert tr._device_data(train_ds) is not None  # fast path engaged
+        p = jax.device_get(params)
+        tr.fit(p, train_ds, test_ds, epochs=2, out_dir=str(out), eval_every=10, save_every=10)
+        return [
+            json.loads(l)["Train Reconstruction Error"]
+            for l in open(out / "metrics.jsonl")
+            if "Train Reconstruction Error" in l
+        ]
+
+    ref = run(tmp_path / "d1", mesh_lib.make_mesh(devices=jax.devices()[:1]))
+    d8 = run(tmp_path / "d8", mesh_lib.make_mesh())           # 8-way data
+    d42 = run(tmp_path / "d42", mesh_lib.make_mesh(n_model=2))  # (4, 2)
+    assert len(ref) == 2
+    np.testing.assert_allclose(d8, ref, rtol=1e-5)
+    np.testing.assert_allclose(d42, ref, rtol=1e-5)
