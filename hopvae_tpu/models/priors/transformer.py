@@ -23,7 +23,15 @@ TPU-first choices:
   per-layer K/V caches updated by ``dynamic_update_slice`` — no
   recomputation, no host round-trips; the same step function runs
   teacher-forced in ``decode_logits`` so cache correctness is testable
-  against the dense forward without stochastic flakiness.
+  against the dense forward without stochastic flakiness;
+- optional grouped-query attention (``prior_kv_heads`` < ``prior_heads``,
+  down to multi-query at 1): K/V are projected to ``kv_heads`` heads and
+  each serves a group of ``heads/kv_heads`` query heads.  The decode
+  step is HBM-bound on reading the caches (measured ~85% of the read
+  roofline in round 2), and cache bytes scale with ``kv_heads`` — MQA
+  cuts them ``heads``-fold, which is the single biggest decode lever at
+  the large grids.  Training cost is unchanged (K/V are broadcast back
+  to ``heads`` for the batched backends; same matmul shapes).
 """
 
 from __future__ import annotations
@@ -64,6 +72,11 @@ class TransformerPrior:
         self.heads = getattr(config, "prior_heads", 4)
         self.n_layers = getattr(config, "prior_layers", 4)
         assert self.d % self.heads == 0, "prior_d_model must split into heads"
+        self.kv_heads = int(getattr(config, "prior_kv_heads", self.heads))
+        if not (1 <= self.kv_heads <= self.heads) or self.heads % self.kv_heads:
+            raise ValueError(
+                f"prior_kv_heads={self.kv_heads} must divide prior_heads={self.heads}"
+            )
         self.seq = self.representation_dim**2 * self.index_dim
         attn = getattr(config, "prior_attn", "auto")
         if attn == "auto":
@@ -107,6 +120,7 @@ class TransformerPrior:
                 "bias": jnp.zeros((fan_out,)),
             }
 
+        kv_width = self.kv_heads * (d // self.heads)
         return {
             "tok_emb": scale * jax.random.normal(keys[0], (lvl, d)),
             "bos": scale * jax.random.normal(keys[1], (d,)),
@@ -114,7 +128,7 @@ class TransformerPrior:
             "blocks": [
                 {
                     "ln1": _ln_init(d),
-                    "qkv": dense(keys[3 + 4 * i], d, 3 * d),
+                    "qkv": dense(keys[3 + 4 * i], d, d + 2 * kv_width),
                     "out": dense(keys[4 + 4 * i], d, d),
                     "ln2": _ln_init(d),
                     "mlp_in": dense(keys[5 + 4 * i], d, 4 * d),
@@ -135,16 +149,27 @@ class TransformerPrior:
         bos = jnp.broadcast_to(params["bos"], (b, 1, self.d))
         return jnp.concatenate([bos, emb], axis=1) + params["pos_emb"][None, :s]
 
+    def _split_qkv(self, p, x):
+        """Project and split into q (…, heads·dh), k/v (…, kv_heads·dh)."""
+        d, dh = self.d, self.d // self.heads
+        kvw = self.kv_heads * dh
+        qkv = _ln(x, p["ln1"]) @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+        return qkv[..., :d], qkv[..., d : d + kvw], qkv[..., d + kvw :]
+
     def _block(self, p, x):
         """Pre-LN block; causal attention via the configured backend."""
         b, s, d = x.shape
-        h, dh = self.heads, d // self.heads
-        q, k, v = jnp.split(
-            _ln(x, p["ln1"]) @ p["qkv"]["kernel"] + p["qkv"]["bias"], 3, axis=-1
-        )
+        h, dh, kv = self.heads, d // self.heads, self.kv_heads
+        q, k, v = self._split_qkv(p, x)
         q = q.reshape(b, s, h, dh)
-        k = k.reshape(b, s, h, dh)
-        v = v.reshape(b, s, h, dh)
+        k = k.reshape(b, s, kv, dh)
+        v = v.reshape(b, s, kv, dh)
+        if kv != h:
+            # broadcast each KV head over its query group for the batched
+            # training backends — GQA's byte saving is a DECODE property
+            # (cache reads); training matmul shapes stay identical
+            k = jnp.repeat(k, h // kv, axis=2)
+            v = jnp.repeat(v, h // kv, axis=2)
         if self.attn == "blocked":
             y = blocked_causal_attention(
                 q, k, v, q_block=self.q_block, kv_block=self.kv_block
@@ -190,31 +215,30 @@ class TransformerPrior:
 
     def _decode_step(self, params, caches, x_t, t):
         """x_t (B, d) input embedding for position t → (caches', logits (B, L))."""
-        h, dh = self.heads, self.d // self.heads
+        h, dh, kv = self.heads, self.d // self.heads, self.kv_heads
+        g = h // kv  # query heads per KV head (1 unless GQA/MQA)
         b = x_t.shape[0]
         new_caches = []
         x = x_t
         for p, cache in zip(params["blocks"], caches):
-            q, kk, vv = jnp.split(
-                _ln(x, p["ln1"]) @ p["qkv"]["kernel"] + p["qkv"]["bias"], 3, axis=-1
-            )
+            q, kk, vv = self._split_qkv(p, x)
             cdt = cache["k"].dtype
             k_cache = jax.lax.dynamic_update_slice(
-                cache["k"], kk.reshape(b, 1, h, dh).astype(cdt), (0, t, 0, 0)
+                cache["k"], kk.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                cache["v"], vv.reshape(b, 1, h, dh).astype(cdt), (0, t, 0, 0)
+                cache["v"], vv.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
             )
             new_caches.append({"k": k_cache, "v": v_cache})
-            q = q.reshape(b, h, dh)
+            q = q.reshape(b, kv, g, dh)
             scores = jnp.einsum(
-                "bhd,bkhd->bhk", q, k_cache.astype(q.dtype),
+                "bkgd,bskd->bkgs", q, k_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ) / jnp.sqrt(float(dh))
-            valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) <= t
+            valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3) <= t
             att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
             y = jnp.einsum(
-                "bhk,bkhd->bhd", att.astype(q.dtype), v_cache.astype(q.dtype),
+                "bkgs,bskd->bkgd", att.astype(q.dtype), v_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype).reshape(b, self.d)
             x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
@@ -225,12 +249,12 @@ class TransformerPrior:
         return new_caches, logits
 
     def _empty_caches(self, b, dtype=jnp.float32, length: int | None = None):
-        h, dh = self.heads, self.d // self.heads
+        kv, dh = self.kv_heads, self.d // self.heads
         length = self.seq if length is None else length
         return [
             {
-                "k": jnp.zeros((b, length, h, dh), dtype),
-                "v": jnp.zeros((b, length, h, dh), dtype),
+                "k": jnp.zeros((b, length, kv, dh), dtype),
+                "v": jnp.zeros((b, length, kv, dh), dtype),
             }
             for _ in range(self.n_layers)
         ]

@@ -207,6 +207,55 @@ def test_hopvae_integration_prior_phase():
     assert s.shape == (2, 28, 28, 1) and bool(jnp.all(jnp.isfinite(s)))
 
 
+@pytest.mark.parametrize("kv_heads", [1, 2])
+def test_gqa_cache_decode_matches_forward(kv_heads):
+    """Grouped-query / multi-query attention (prior_kv_heads < heads):
+    the KV-cached decode path must still reproduce the batched causal
+    forward position-for-position, for both attention backends."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 4
+    cfg.index_dim = 3
+    cfg.num_levels = 16
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 4
+    cfg.prior_layers = 2
+    cfg.prior_kv_heads = kv_heads
+    prior = TransformerPrior(cfg)
+    params = prior.init(jax.random.PRNGKey(0))
+    dh = cfg.prior_d_model // cfg.prior_heads
+    assert params["blocks"][0]["qkv"]["kernel"].shape == (
+        32, 32 + 2 * kv_heads * dh,
+    )
+
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.num_levels, (2, r, r, c)), jnp.float32
+    )
+    dense = jax.jit(prior.forward)(params, g)
+    cached = jax.jit(prior.decode_logits)(params, g)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+    # blocked backend agrees with dense on the grouped-broadcast K/V
+    cfg.prior_attn = "blocked"
+    cfg.prior_q_block = 16
+    cfg.prior_kv_block = 8
+    blocked = jax.jit(TransformerPrior(cfg).forward)(params, g)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(dense), rtol=1e-4, atol=1e-5)
+
+    # sampling runs with the shrunken caches and stays in range
+    s = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(5)))
+    assert s.shape == (3, r, r, c) and s.min() >= 0 and s.max() <= cfg.num_levels - 1
+
+
+def test_gqa_validation():
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.prior_heads = 4
+    cfg.prior_kv_heads = 3  # does not divide
+    with pytest.raises(ValueError):
+        TransformerPrior(cfg)
+
+
 def test_numpy_params_after_msgpack_roundtrip():
     """Native-checkpoint loads hand back numpy leaves; the embedding
     gathers must not choke on numpy-indexed-by-tracer (regression: the
