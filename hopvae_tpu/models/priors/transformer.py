@@ -26,12 +26,19 @@ TPU-first choices:
   against the dense forward without stochastic flakiness;
 - optional grouped-query attention (``prior_kv_heads`` < ``prior_heads``,
   down to multi-query at 1): K/V are projected to ``kv_heads`` heads and
-  each serves a group of ``heads/kv_heads`` query heads.  The decode
-  step is HBM-bound on reading the caches (measured ~85% of the read
-  roofline in round 2), and cache bytes scale with ``kv_heads`` — MQA
-  cuts them ``heads``-fold, which is the single biggest decode lever at
-  the large grids.  Training cost is unchanged (K/V are broadcast back
-  to ``heads`` for the batched backends; same matmul shapes).
+  each serves a group of ``heads/kv_heads`` query heads.  Training cost
+  is unchanged (K/V are broadcast back to ``heads`` for the batched
+  backends; same matmul shapes).  **Measured dead end at the default
+  d=128 geometry** (``tools/gqa_decode_bench.py``, v5e 2026-08-17):
+  despite the decode step being cache-read bound, MQA decode is 3.7×
+  SLOWER at r=8/batch-1024 (3,505 vs 12,949 samples/s) and 1.24× slower
+  at r=17/batch-2048 (629 vs 778) — at kv·dh = 32 the grouped einsum's
+  tiny per-head matmuls waste far more than the byte saving buys.  A 3D
+  ``(B, S, kv·dh)`` cache layout was also measured: kv=1 unchanged
+  (3,501/s — so 4D trailing-tile padding is NOT the cost) and kv=4
+  SLOWER (8,944/s — the per-step einsum reshape relayouts).  The 4D
+  layout stays; ``prior_kv_heads`` stays for large-``prior_d_model``
+  configs where a head is lane-wide, but defaults to ``heads``.
 """
 
 from __future__ import annotations
