@@ -28,17 +28,17 @@ TPU-first choices:
   down to multi-query at 1): K/V are projected to ``kv_heads`` heads and
   each serves a group of ``heads/kv_heads`` query heads.  Training cost
   is unchanged (K/V are broadcast back to ``heads`` for the batched
-  backends; same matmul shapes).  **Measured dead end at the default
-  d=128 geometry** (``tools/gqa_decode_bench.py``, v5e 2026-08-17):
-  despite the decode step being cache-read bound, MQA decode is 3.7×
-  SLOWER at r=8/batch-1024 (3,505 vs 12,949 samples/s) and 1.24× slower
-  at r=17/batch-2048 (629 vs 778) — at kv·dh = 32 the grouped einsum's
-  tiny per-head matmuls waste far more than the byte saving buys.  A 3D
-  ``(B, S, kv·dh)`` cache layout was also measured: kv=1 unchanged
-  (3,501/s — so 4D trailing-tile padding is NOT the cost) and kv=4
-  SLOWER (8,944/s — the per-step einsum reshape relayouts).  The 4D
-  layout stays; ``prior_kv_heads`` stays for large-``prior_d_model``
-  configs where a head is lane-wide, but defaults to ``heads``.
+  backends; same matmul shapes).  Whether MQA pays is a LANE-WIDTH
+  question, measured on the v5e (``tools/gqa_decode_bench.py``,
+  2026-08-17): at the default d=128 (dh=32) it is a **dead end** — 3.7×
+  slower at r=8 (3,497-3,505 vs 12,949 samples/s) and 1.22× slower at
+  r=17 (629-636 vs 778) across three formulations (grouped einsum,
+  flattened 3D cache, dedicated shared-KV einsum), because a (B, S, 32)
+  cache still pads to the 128-lane tile — no physical bytes are saved
+  while the tiny per-head matmuls get less efficient.  At d=512 (dh=128,
+  one head exactly lane-wide) MQA decode is **4.66× faster** (9,620 vs
+  2,066 samples/s, r=8 batch 512) — the full byte cut materializes.
+  Rule: ``prior_kv_heads < heads`` only pays when dh = d/heads ≥ 128.
 """
 
 from __future__ import annotations
@@ -83,6 +83,16 @@ class TransformerPrior:
         if not (1 <= self.kv_heads <= self.heads) or self.heads % self.kv_heads:
             raise ValueError(
                 f"prior_kv_heads={self.kv_heads} must divide prior_heads={self.heads}"
+            )
+        if self.kv_heads < self.heads and self.d // self.heads < 128:
+            # measured on v5e (module docstring): below one 128-lane tile
+            # per head the cache still pads to full lanes, so GQA saves no
+            # bytes and decodes slower
+            print(
+                f"warning: prior_kv_heads={self.kv_heads} < heads with head dim "
+                f"{self.d // self.heads} < 128 — measured SLOWER on TPU (no "
+                "physical cache-byte saving below one 128-lane tile per head)",
+                file=sys.stderr,
             )
         self.seq = self.representation_dim**2 * self.index_dim
         attn = getattr(config, "prior_attn", "auto")
@@ -230,6 +240,32 @@ class TransformerPrior:
         for p, cache in zip(params["blocks"], caches):
             q, kk, vv = self._split_qkv(p, x)
             cdt = cache["k"].dtype
+            if kv == 1:
+                # MQA: a 3D (B, S, dh) cache and a single shared-KV einsum —
+                # no singleton batch dim for the compiler to trip over
+                k_cache = jax.lax.dynamic_update_slice(
+                    cache["k"], kk.reshape(b, 1, dh).astype(cdt), (0, t, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    cache["v"], vv.reshape(b, 1, dh).astype(cdt), (0, t, 0)
+                )
+                new_caches.append({"k": k_cache, "v": v_cache})
+                q = q.reshape(b, h, dh)
+                scores = jnp.einsum(
+                    "bhd,bsd->bhs", q, k_cache.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                ) / jnp.sqrt(float(dh))
+                valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) <= t
+                att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
+                y = jnp.einsum(
+                    "bhs,bsd->bhd", att.astype(q.dtype), v_cache.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype).reshape(b, self.d)
+                x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
+                z = _ln(x, p["ln2"])
+                z = jax.nn.gelu(z @ p["mlp_in"]["kernel"] + p["mlp_in"]["bias"])
+                x = x + z @ p["mlp_out"]["kernel"] + p["mlp_out"]["bias"]
+                continue
             k_cache = jax.lax.dynamic_update_slice(
                 cache["k"], kk.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
             )
@@ -258,11 +294,9 @@ class TransformerPrior:
     def _empty_caches(self, b, dtype=jnp.float32, length: int | None = None):
         kv, dh = self.kv_heads, self.d // self.heads
         length = self.seq if length is None else length
+        shape = (b, length, dh) if kv == 1 else (b, length, kv, dh)
         return [
-            {
-                "k": jnp.zeros((b, length, kv, dh), dtype),
-                "v": jnp.zeros((b, length, kv, dh), dtype),
-            }
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(self.n_layers)
         ]
 

@@ -24,9 +24,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--r", type=int, nargs="+", default=[8, 17])
     ap.add_argument("--batch", type=int, nargs="+", default=[1024, 2048])
+    ap.add_argument("--d", type=int, nargs="+", default=None, help="prior_d_model per (r, batch) point (default 128)")
+    ap.add_argument("--kv", type=int, nargs="+", default=[4, 1])
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
     assert len(args.r) == len(args.batch)
+    d_models = args.d or [128] * len(args.r)
+    assert len(d_models) == len(args.r)
 
     import jax
 
@@ -38,11 +42,13 @@ def main():
     from hopvae_tpu.utils.benchmark import device_seconds_per_iter
 
     out = {}
-    for r, b in zip(args.r, args.batch):
-        for kv in (4, 1):
+    for r, b, d in zip(args.r, args.batch, d_models):
+        tag = f"r{r}_b{b}_d{d}"
+        for kv in args.kv:
             cfg = load_config("pixelcnn_mnist_28")
             cfg.representation_dim = r
             cfg.num_levels = 512
+            cfg.prior_d_model = d
             cfg.prior_kv_heads = kv
             prior = TransformerPrior(cfg)
             params = prior.init(jax.random.PRNGKey(0))
@@ -52,11 +58,13 @@ def main():
                 return jax.random.fold_in(key, s.astype("int32").sum())
 
             dt = device_seconds_per_iter(step, jax.random.PRNGKey(0), iters=args.iters)
-            out[f"r{r}_b{b}_kv{kv}_samples_per_sec"] = b / dt
-        out[f"r{r}_b{b}_mqa_speedup"] = (
-            out[f"r{r}_b{b}_kv1_samples_per_sec"] / out[f"r{r}_b{b}_kv4_samples_per_sec"]
-        )
-        print(json.dumps(out, indent=1), flush=True)
+            out[f"{tag}_kv{kv}_samples_per_sec"] = b / dt
+            print(json.dumps(out, indent=1), flush=True)
+        if 1 in args.kv and 4 in args.kv:
+            out[f"{tag}_mqa_speedup"] = (
+                out[f"{tag}_kv1_samples_per_sec"] / out[f"{tag}_kv4_samples_per_sec"]
+            )
+            print(json.dumps(out, indent=1), flush=True)
 
 
 if __name__ == "__main__":
