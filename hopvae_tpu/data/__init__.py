@@ -107,12 +107,13 @@ def _read_image_uint8(path: str, image_size: int) -> np.ndarray:
     """One file → (H, W, 3) uint8. ``.npy`` must be pre-resized."""
     if path.endswith(".npy"):
         a = np.load(path)
-        if a.shape != (image_size, image_size, 3):
+        if a.shape != (image_size, image_size, 3) or a.dtype != np.uint8:
+            # a silent cast would truncate e.g. float [0,1] images to 0/1
             raise ValueError(
                 f"{path}: expected pre-resized ({image_size},{image_size},3) "
-                f"uint8, got {a.shape}"
+                f"uint8, got {a.shape} {a.dtype}"
             )
-        return np.asarray(a, np.uint8)
+        return a
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
@@ -411,10 +412,11 @@ def iterate_batches(
     Requires ``drop_remainder`` (a ragged final batch would change the
     per-process split).
     """
-    assert local_slice is None or drop_remainder, (
-        "local_slice needs drop_remainder=True: the final ragged batch "
-        "has no well-defined per-process split"
-    )
+    if local_slice is not None and not drop_remainder:
+        raise ValueError(
+            "local_slice needs drop_remainder=True: the final ragged batch "
+            "has no well-defined per-process split"
+        )
     idx = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)

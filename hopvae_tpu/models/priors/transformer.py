@@ -249,39 +249,28 @@ class TransformerPrior:
                 v_cache = jax.lax.dynamic_update_slice(
                     cache["v"], vv.reshape(b, 1, dh).astype(cdt), (0, t, 0)
                 )
-                new_caches.append({"k": k_cache, "v": v_cache})
                 q = q.reshape(b, h, dh)
-                scores = jnp.einsum(
-                    "bhd,bsd->bhs", q, k_cache.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                ) / jnp.sqrt(float(dh))
-                valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) <= t
-                att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
-                y = jnp.einsum(
-                    "bhs,bsd->bhd", att.astype(q.dtype), v_cache.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype).reshape(b, self.d)
-                x = x + y @ p["out"]["kernel"] + p["out"]["bias"]
-                z = _ln(x, p["ln2"])
-                z = jax.nn.gelu(z @ p["mlp_in"]["kernel"] + p["mlp_in"]["bias"])
-                x = x + z @ p["mlp_out"]["kernel"] + p["mlp_out"]["bias"]
-                continue
-            k_cache = jax.lax.dynamic_update_slice(
-                cache["k"], kk.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                cache["v"], vv.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
-            )
+                qk, av = "bhd,bsd->bhs", "bhs,bsd->bhd"
+            else:
+                k_cache = jax.lax.dynamic_update_slice(
+                    cache["k"], kk.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    cache["v"], vv.reshape(b, 1, kv, dh).astype(cdt), (0, t, 0, 0)
+                )
+                q = q.reshape(b, kv, g, dh)
+                qk, av = "bkgd,bskd->bkgs", "bkgs,bskd->bkgd"
             new_caches.append({"k": k_cache, "v": v_cache})
-            q = q.reshape(b, kv, g, dh)
             scores = jnp.einsum(
-                "bkgd,bskd->bkgs", q, k_cache.astype(q.dtype),
+                qk, q, k_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ) / jnp.sqrt(float(dh))
-            valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3) <= t
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1) <= t
+            )
             att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
             y = jnp.einsum(
-                "bkgs,bskd->bkgd", att.astype(q.dtype), v_cache.astype(q.dtype),
+                av, att.astype(q.dtype), v_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype).reshape(b, self.d)
             x = x + y @ p["out"]["kernel"] + p["out"]["bias"]

@@ -194,9 +194,15 @@ def main(argv=None):
     # dispatches native .msgpack vs torch .ckpt internally
     params = ckpt_lib.load_reference_checkpoint(model, params, args.checkpoint)
 
+    # validate input counts BEFORE the engine construction pays the AOT
+    # compile (minutes on a cold cache for the sampler)
     if args.mode == "interpolate":
+        if len(args.inputs) < 2 or len(args.inputs) % 2:
+            parser.error("interpolate mode needs an even number (≥2) of input files")
         batch = max(len(args.inputs) // 2, 1)
     elif args.mode == "reconstruct":
+        if not args.inputs:
+            parser.error("reconstruct mode needs input files")
         batch = max(len(args.inputs), 1)
     else:
         batch = 1
@@ -211,8 +217,6 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     if args.mode == "reconstruct":
-        if not args.inputs:
-            parser.error("reconstruct mode needs input files")
         x = _load_images(args.inputs, config)
         # chunk through the engine's fixed batch size (arbitrary input counts)
         y = np.concatenate(
@@ -230,8 +234,6 @@ def main(argv=None):
     elif args.mode == "interpolate":
         # first half ↔ second half, pairwise (the reference interpolates
         # two whole eval batches, main.py:69,76)
-        if len(args.inputs) < 2 or len(args.inputs) % 2:
-            parser.error("interpolate mode needs an even number (≥2) of input files")
         imgs = _load_images(args.inputs, config)
         half = len(imgs) // 2
         y = engine.interpolate(imgs[:half], imgs[half:])

@@ -242,13 +242,21 @@ class Trainer:
 
         # the optimizer (and its schedule, keyed on steps_per_epoch) and
         # the steps traced against it are cached on everything they
-        # actually depend on — cfg is fixed per Trainer, so that's the
-        # schedule length and the param tree structure (the prior-only
-        # mask). Repeated fit() calls on the same shapes then reuse the
-        # compiled steps instead of re-tracing (a re-trace of the
-        # epoch-fused scan costs ~45 s of wall time on the tunneled
-        # backend even with a warm compile cache).
-        tx_key = (steps_per_epoch, jax.tree_util.tree_structure(params))
+        # actually depend on: the schedule length and inputs
+        # (learning_rate/gamma CAN be mutated on cfg between fit calls),
+        # the param tree structure (the prior-only mask), and
+        # watch_gradients (baked into the traced step's metric outputs).
+        # Repeated fit() calls on the same key then reuse the compiled
+        # steps instead of re-tracing (a re-trace of the epoch-fused scan
+        # costs ~45 s of wall time on the tunneled backend even with a
+        # warm compile cache).
+        tx_key = (
+            steps_per_epoch,
+            cfg.learning_rate,
+            cfg.gamma,
+            self.watch_gradients,
+            jax.tree_util.tree_structure(params),
+        )
         if getattr(self, "_tx_key", None) != tx_key:
             self._train_step = {}
             self._tx = {
@@ -559,11 +567,12 @@ class Trainer:
             # the raw interpolation endpoints, like the reference's
             # "Test Z"/"Test Y" wandb grids (main.py:74-77)
             grids["test_Y"], grids["test_Z"] = first_batches[0], first_batches[1]
-        for name, imgs in grids.items():
-            save_image_grid(
-                os.path.join(out_dir, f"epoch{epoch:04d}_{name}.png"),
-                denormalize(imgs[:n_sample_images], cfg.data_set),
-            )
+        if jax.process_index() == 0:  # shared out_dir: one writer (cf. save)
+            for name, imgs in grids.items():
+                save_image_grid(
+                    os.path.join(out_dir, f"epoch{epoch:04d}_{name}.png"),
+                    denormalize(imgs[:n_sample_images], cfg.data_set),
+                )
 
         if logger is not None:
             logger.log(

@@ -120,30 +120,65 @@ def convert_torch_state_dict(sd: Mapping[str, np.ndarray], config) -> dict:
     return params
 
 
-def lenient_merge(fresh: Any, loaded: Any, _path: str = "") -> Any:
+def lenient_merge(fresh: Any, loaded: Any, _path: str = "", dropped: list | None = None) -> Any:
     """Reference partial-load semantics over pytrees: take the loaded leaf
     when present with a matching shape, else keep the fresh one
-    (``utils/__init__.py:36-49``)."""
+    (``utils/__init__.py:36-49``).
+
+    ``dropped``, when given, collects the paths where the checkpoint did
+    NOT land (fresh leaves kept because the loaded counterpart was absent
+    or shape-mismatched, and loaded keys with no fresh counterpart) so
+    callers can surface what a lenient load actually skipped."""
     if isinstance(fresh, dict):
         out = {}
         for k, v in fresh.items():
             if isinstance(loaded, dict) and k in loaded:
-                out[k] = lenient_merge(v, loaded[k], f"{_path}/{k}")
+                out[k] = lenient_merge(v, loaded[k], f"{_path}/{k}", dropped)
             else:
                 out[k] = v
+                if dropped is not None:
+                    dropped.append(f"{_path}/{k} (not in checkpoint)")
+        if dropped is not None and isinstance(loaded, dict):
+            dropped.extend(
+                f"{_path}/{k} (in checkpoint, no such param)"
+                for k in loaded.keys() - fresh.keys()
+            )
         return out
     if isinstance(fresh, (list, tuple)):
         if isinstance(loaded, (list, tuple)):
             merged = [
-                lenient_merge(f, l, f"{_path}[{i}]")
+                lenient_merge(f, l, f"{_path}[{i}]", dropped)
                 for i, (f, l) in enumerate(zip(fresh, loaded))
             ] + list(fresh[len(loaded):])
+            if dropped is not None and len(fresh) > len(loaded):
+                dropped.append(f"{_path}[{len(loaded)}:] (not in checkpoint)")
             return type(fresh)(merged)
+        if dropped is not None:
+            dropped.append(f"{_path} (not in checkpoint)")
         return fresh
     # leaves
     if loaded is not None and getattr(loaded, "shape", None) == getattr(fresh, "shape", None):
         return jnp.asarray(loaded, dtype=fresh.dtype) if hasattr(fresh, "dtype") else loaded
+    if dropped is not None:
+        got = getattr(loaded, "shape", None)
+        dropped.append(
+            f"{_path} (shape {got} != {getattr(fresh, 'shape', None)})"
+            if got is not None else f"{_path} (not in checkpoint)"
+        )
     return fresh
+
+
+def _warn_dropped(dropped: list, path: str) -> None:
+    if not dropped:
+        return
+    import sys
+
+    shown = ", ".join(dropped[:8]) + (" …" if len(dropped) > 8 else "")
+    print(
+        f"warning: lenient load of {path}: {len(dropped)} subtree(s) kept "
+        f"their fresh initialization / were ignored: {shown}",
+        file=sys.stderr,
+    )
 
 
 def load_reference_checkpoint(model, params: dict, ckpt_path: str) -> dict:
@@ -157,7 +192,10 @@ def load_reference_checkpoint(model, params: dict, ckpt_path: str) -> dict:
         return load_params_lenient(ckpt_path, params)
     sd = load_torch_state_dict(ckpt_path)
     converted = convert_torch_state_dict(sd, model.config)
-    return lenient_merge(params, converted)
+    dropped: list = []
+    merged = lenient_merge(params, converted, dropped=dropped)
+    _warn_dropped(dropped, ckpt_path)
+    return merged
 
 
 # ----------------------------------------------------------- native format
@@ -196,4 +234,7 @@ def load_params_lenient(path: str, like: Any) -> Any:
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     fresh_sd = serialization.to_state_dict(jax.device_get(like))
-    return serialization.from_state_dict(like, lenient_merge(fresh_sd, raw))
+    dropped: list = []
+    merged = lenient_merge(fresh_sd, raw, dropped=dropped)
+    _warn_dropped(dropped, path)  # a silent partial load is a debugging trap
+    return serialization.from_state_dict(like, merged)

@@ -23,15 +23,23 @@ class MetricLogger:
     def __init__(self, out_dir: str, wandb_config: dict | None = None):
         import threading
 
+        import jax
+
         self.out_dir = out_dir
-        os.makedirs(out_dir, exist_ok=True)
+        # multi-host: all processes share out_dir storage — only process 0
+        # writes (JSONL and wandb), mirroring Trainer.save; log() is a
+        # no-op elsewhere so per-epoch records are not duplicated N times
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            os.makedirs(out_dir, exist_ok=True)
         self._path = os.path.join(out_dir, "metrics.jsonl")
         self._step = 0
         # the Trainer logs epoch records from its async metric thread while
         # eval records come from the main thread — serialize the appends
+        # (and the wandb sink, whose auto-step is not thread-safe)
         self._lock = threading.Lock()
         self._wandb = None
-        if os.environ.get("WANDB_PROJECT"):
+        if self._primary and os.environ.get("WANDB_PROJECT"):
             try:
                 import wandb
 
@@ -42,20 +50,22 @@ class MetricLogger:
                 self._wandb = None
 
     def log(self, metrics: dict, step: int | None = None) -> None:
-        if step is None:
-            step = self._step
-            self._step += 1
-        rec = {"step": step, "time": time.time()}
+        if not self._primary:
+            return
+        rec = {"time": time.time()}
         rec.update(
             {k: (float(v) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else v)
              for k, v in metrics.items()}
         )
-        line = json.dumps(rec) + "\n"
         with self._lock:
+            if step is None:
+                step = self._step
+                self._step += 1
+            rec["step"] = step
             with open(self._path, "a") as f:
-                f.write(line)
-        if self._wandb is not None:
-            self._wandb.log({k: v for k, v in rec.items() if k != "time"})
+                f.write(json.dumps(rec) + "\n")
+            if self._wandb is not None:
+                self._wandb.log({k: v for k, v in rec.items() if k != "time"})
 
 
 def denormalize(x: np.ndarray, data_set: str) -> np.ndarray:

@@ -167,3 +167,38 @@ def test_real_mnist_golden():
     assert mse < 0.05, f"real-MNIST golden recon MSE {mse}"
     assert float(aux) < 5e-3
     print(f"real-MNIST golden: recon_mse={mse:.6f} aux={float(aux):.2e}")
+
+
+def test_lenient_load_reports_dropped_subtrees(tmp_path, capsys):
+    """A lenient .msgpack load that keeps fresh leaves (e.g. warm-starting
+    a Transformer prior from a PixelCNN-prior checkpoint) must say so on
+    stderr instead of silently serving partially-random weights (review
+    finding); a clean full match must stay silent."""
+    from hopvae_tpu.config import load_config
+    from hopvae_tpu.models.hopvae import HopVAE
+    from hopvae_tpu.utils.checkpoint import load_params_lenient, save_params
+
+    cfg = load_config("pixelcnn_mnist_28")
+    src = HopVAE(cfg).init(jax.random.PRNGKey(0))
+    path = tmp_path / "pix.msgpack"
+    save_params(str(path), src)
+
+    # same structure: silent, exact restore
+    restored = load_params_lenient(str(path), HopVAE(cfg).init(jax.random.PRNGKey(1)))
+    assert capsys.readouterr().err == ""
+    np.testing.assert_array_equal(
+        np.asarray(restored["pre_vq_conv"]["kernel"]),
+        np.asarray(src["pre_vq_conv"]["kernel"]),
+    )
+
+    # different prior family: backbone adopted, prior fresh — and reported
+    cfg2 = load_config("pixelcnn_mnist_28")
+    cfg2.prior = "Transformer"
+    tmpl = HopVAE(cfg2).init(jax.random.PRNGKey(2))
+    merged = load_params_lenient(str(path), tmpl)
+    err = capsys.readouterr().err
+    assert "lenient load" in err and "prior" in err
+    np.testing.assert_array_equal(
+        np.asarray(merged["pre_vq_conv"]["kernel"]),
+        np.asarray(src["pre_vq_conv"]["kernel"]),
+    )

@@ -235,3 +235,30 @@ def test_npy_streaming_and_threaded_decode(tmp_path):
 
     with pytest.raises(ValueError, match="pre-resized"):
         LazyImageFolder([str(tmp_path / "bad.npy")], 16).gather(np.array([0]))
+
+
+def test_npy_reader_rejects_non_uint8(tmp_path):
+    """A float .npy of the right shape must raise, not silently truncate
+    every pixel to 0/1 (review finding)."""
+    import pytest
+
+    from hopvae_tpu.data import _read_image_uint8
+
+    p = tmp_path / "img.npy"
+    np.save(p, np.random.default_rng(0).random((8, 8, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="uint8"):
+        _read_image_uint8(str(p), 8)
+    np.save(p, (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8))
+    assert _read_image_uint8(str(p), 8).dtype == np.uint8
+
+
+def test_local_slice_requires_drop_remainder():
+    """local_slice without drop_remainder must raise ValueError (not a
+    bare assert, which vanishes under python -O)."""
+    import pytest
+
+    from hopvae_tpu.data import ArrayDataset, iterate_batches
+
+    ds = ArrayDataset(np.zeros((10, 4, 4, 1), np.float32), np.zeros((10,), np.int64))
+    with pytest.raises(ValueError, match="drop_remainder"):
+        iterate_batches(ds, 4, shuffle=False, local_slice=(0, 2))

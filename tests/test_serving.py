@@ -172,3 +172,27 @@ def test_cli_interpolate(tmp_path):
             "--impl", "xla", "--compute-dtype", "float32",
             *files[:3],
         ])
+
+
+def test_cli_validates_inputs_before_compiling(monkeypatch, tmp_path):
+    """Bad input counts must abort BEFORE InferenceEngine pays the AOT
+    compile (review finding)."""
+    import pytest
+
+    from hopvae_tpu import serving
+    from hopvae_tpu.utils.checkpoint import save_params
+
+    cfg = load_config("mnist_28")
+    params = HopVAE(cfg).init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "m.msgpack"
+    save_params(str(ckpt), params)
+
+    def boom(*a, **k):
+        raise AssertionError("engine compiled before input validation")
+
+    monkeypatch.setattr(serving, "InferenceEngine", boom)
+    base = ["--config", "mnist_28", "--checkpoint", str(ckpt), "--impl", "xla"]
+    with pytest.raises(SystemExit):
+        serving.main(base + ["--mode", "interpolate", "a.png", "b.png", "c.png"])
+    with pytest.raises(SystemExit):
+        serving.main(base + ["--mode", "reconstruct"])

@@ -518,3 +518,55 @@ def test_device_resident_data_multi_device(tmp_path, monkeypatch):
     assert len(ref) == 2
     np.testing.assert_allclose(d8, ref, rtol=1e-5)
     np.testing.assert_allclose(d42, ref, rtol=1e-5)
+
+
+def test_fit_retraces_on_watch_toggle_and_lr_change(tmp_path):
+    """The compiled-step cache is keyed on watch_gradients and the
+    optimizer inputs: toggling watch between fit() calls must produce
+    grad_norm records in the second run (review finding: a stale cached
+    step traced with watch=False silently never logged them)."""
+    cfg = _tiny_cfg()
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    train_ds, _, test_ds = get_datasets(cfg, None)
+    train_ds.images, train_ds.labels = train_ds.images[:32], train_ds.labels[:32]
+    test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+
+    tr = Trainer(model, cfg)
+    params, _ = tr.fit(params, train_ds, test_ds, epochs=1,
+                       out_dir=str(tmp_path / "a"), eval_every=0, save_every=0)
+    lines = [json.loads(l) for l in open(tmp_path / "a" / "metrics.jsonl")]
+    assert not any("grad_norm" in l for l in lines)
+    key_before = tr._tx_key
+
+    tr.watch_gradients = True
+    params, _ = tr.fit(params, train_ds, test_ds, epochs=1,
+                       out_dir=str(tmp_path / "b"), eval_every=0, save_every=0)
+    assert tr._tx_key != key_before  # cache invalidated, step re-traced
+    lines = [json.loads(l) for l in open(tmp_path / "b" / "metrics.jsonl")]
+    assert any("grad_norm" in l for l in lines)
+
+    # mutating optimizer inputs on cfg between fits also invalidates
+    cfg.learning_rate *= 0.5
+    key_watch = None if not hasattr(tr, "_tx_key") else tr._tx_key
+    params, _ = tr.fit(params, train_ds, test_ds, epochs=1,
+                       out_dir=str(tmp_path / "c"), eval_every=0, save_every=0)
+    assert tr._tx_key != key_watch
+
+
+def test_metric_logger_writes_only_on_process_zero(monkeypatch, tmp_path):
+    """Multi-host: every process constructs a MetricLogger over the same
+    shared out_dir — only process 0 may append (review finding: N
+    duplicate JSONL records per epoch)."""
+    from hopvae_tpu.utils.metrics import MetricLogger
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    lg = MetricLogger(str(tmp_path / "w"))
+    lg.log({"loss": 1.0})
+    assert not (tmp_path / "w" / "metrics.jsonl").exists()
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    lg = MetricLogger(str(tmp_path / "w"))
+    lg.log({"loss": 1.0})
+    recs = [json.loads(l) for l in open(tmp_path / "w" / "metrics.jsonl")]
+    assert len(recs) == 1 and recs[0]["loss"] == 1.0
