@@ -13,12 +13,15 @@ channel chain innermost — so the flattened sequence index is
 TPU-first choices:
 
 - training forward = causal attention for all S positions at once
-  (MXU-friendly (B,S,d) matmuls).  Two interchangeable attention
+  (MXU-friendly (B,S,d) matmuls).  Three interchangeable attention
   backends (``ops/attention.py``), selected by ``prior_attn``:
   ``"dense"`` (one fused pass, (B, heads, S, S) scores — fastest at
-  small S), ``"blocked"`` (flash-style online-softmax over KV blocks,
-  O(S·block) memory — the only feasible path at r=17/r=33 geometries),
-  or ``"auto"`` (default: blocked once S ≥ 512);
+  small S), ``"blocked"`` (flash-style online-softmax over KV blocks in
+  XLA, O(S·block) memory), ``"flash"`` (the Mosaic flash-attention
+  kernel — the fast path on TPU at large S; falls back to blocked
+  off-TPU), or ``"auto"`` (default: flash once S ≥ 512).  On TPU prefer
+  ``prior_heads=1`` (dh=128, one full MXU contraction) at the large
+  grids: measured 5.1× the blocked/heads=4 fwd+bwd at r=33;
 - sampling = one ``lax.scan`` over the S positions with preallocated
   per-layer K/V caches updated by ``dynamic_update_slice`` — no
   recomputation, no host round-trips; the same step function runs
@@ -48,7 +51,11 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from hopvae_tpu.ops.attention import blocked_causal_attention, dense_causal_attention
+from hopvae_tpu.ops.attention import (
+    blocked_causal_attention,
+    dense_causal_attention,
+    flash_causal_attention,
+)
 from hopvae_tpu.ops.hopfield import layer_norm
 
 # past this sequence length, "auto" switches the training forward to the
@@ -97,9 +104,12 @@ class TransformerPrior:
         self.seq = self.representation_dim**2 * self.index_dim
         attn = getattr(config, "prior_attn", "auto")
         if attn == "auto":
-            attn = "blocked" if self.seq >= _AUTO_BLOCKED_SEQ else "dense"
-        if attn not in ("dense", "blocked"):
-            raise ValueError(f"prior_attn must be auto|dense|blocked, got {attn!r}")
+            # large grids: the Mosaic flash kernel (which itself falls
+            # back to blocked off-TPU, ops/attention.py) — never dense's
+            # (B, h, S, S) materialization
+            attn = "flash" if self.seq >= _AUTO_BLOCKED_SEQ else "dense"
+        if attn not in ("dense", "blocked", "flash"):
+            raise ValueError(f"prior_attn must be auto|dense|blocked|flash, got {attn!r}")
         if attn == "dense" and self.seq >= 1024:
             # per-sample dense score memory: heads·S²·4B per layer, saved
             # for the backward — at S=3267 that is ~171 MB/sample/layer
@@ -191,6 +201,8 @@ class TransformerPrior:
             y = blocked_causal_attention(
                 q, k, v, q_block=self.q_block, kv_block=self.kv_block
             )
+        elif self.attn == "flash":
+            y = flash_causal_attention(q, k, v)
         else:
             y = dense_causal_attention(q, k, v)
         y = y.reshape(b, s, d)

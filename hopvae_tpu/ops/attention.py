@@ -139,6 +139,41 @@ def blocked_causal_attention(
     return out.astype(q.dtype)
 
 
+def flash_causal_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float | None = None
+) -> jax.Array:
+    """TPU flash-attention backend: the Mosaic kernel from
+    ``jax.experimental.pallas.ops.tpu.flash_attention`` (forward + its
+    library custom-VJP backward), over the same ``(B, S, heads, dh)``
+    layout as the other backends.
+
+    The kernel wants S divisible by its 128-wide blocks; zero-padding the
+    END of the sequence is *exact* under causal masking — no real query
+    (position < S) can attend a padded key (position ≥ S), and padded
+    query rows are sliced away.
+
+    Measured (v5e, 2026-08-17, fwd+bwd at B=64, S=3267, d=128): 1.2×
+    the blocked XLA backend at heads=4 (207 vs 252 ms/iter) and **5.1×**
+    at heads=1 (49.7 ms) — dh=128 fills the MXU's contraction width
+    where dh=32 runs it at a quarter; prefer ``prior_heads=1`` on TPU at
+    the large grids.  Off-TPU (the CPU test mesh) this transparently
+    falls back to :func:`blocked_causal_attention` — same math, same
+    tolerances.
+    """
+    b, s, h, dh = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    if jax.default_backend() != "tpu":
+        return blocked_causal_attention(q, k, v, scale=scale)
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    sp = -(-s // 128) * 128
+    pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(t, pad).swapaxes(1, 2) for t in (q, k, v))
+    out = flash_attention(qp, kp, vp, causal=True, sm_scale=scale)
+    return out.swapaxes(1, 2)[:, :s].astype(q.dtype)
+
+
 def dense_causal_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale=None) -> jax.Array:
     """One-shot masked attention over ``(B, S, h, dh)`` — materializes the
     full ``(B, h, S, S)`` score tensor.  Fastest at small S (one fused

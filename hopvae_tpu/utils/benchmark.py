@@ -21,8 +21,15 @@ import jax.numpy as jnp
 
 
 def _scalar_probe(state) -> jax.Array:
+    """One scalar data-dependent on EVERY leaf of the loop output.
+
+    Must cover all leaves: probing a subset lets XLA dead-code-eliminate
+    the rest of the loop body when the probed leaves are loop-invariant
+    (observed: a prior-phase train step whose frozen params are add-zero
+    identities timed 695k img/s — the entire step was eliminated). The
+    probe runs once after the loop; its cost is negligible."""
     leaves = [l for l in jax.tree_util.tree_leaves(state) if hasattr(l, "dtype")]
-    return sum(jnp.sum(l).astype(jnp.float32) for l in leaves[:2])
+    return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
 
 
 def device_seconds_per_iter(step_fn, init_state, *, iters: int = 20, repeats: int = 3) -> float:

@@ -275,3 +275,40 @@ def test_numpy_params_after_msgpack_roundtrip():
         np.asarray(prior.forward(params, ref)),
         rtol=1e-6,
     )
+
+
+def test_flash_backend_matches_dense_and_auto_selects_it():
+    """prior_attn=flash must agree with the dense forward (off-TPU it
+    falls back to the blocked math — same tolerances), and "auto" must
+    select it at S >= 512 so the TPU production path is the default."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 4
+    cfg.index_dim = 3
+    cfg.num_levels = 16
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 4
+    cfg.prior_layers = 2
+    dense_prior = TransformerPrior(cfg)
+    assert dense_prior.attn == "dense"  # small S: auto stays dense
+    params = dense_prior.init(jax.random.PRNGKey(0))
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.num_levels, (2, r, r, c)), jnp.float32
+    )
+    dense = jax.jit(dense_prior.forward)(params, g)
+
+    cfg.prior_attn = "flash"
+    flash = jax.jit(TransformerPrior(cfg).forward)(params, g)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), rtol=1e-4, atol=1e-5)
+
+    # gradients flow through the (fallback) flash path
+    loss = lambda p: jnp.sum(TransformerPrior(cfg).forward(p, g) ** 2)
+    grads = jax.grad(loss)(params)
+    assert all(
+        bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(grads)
+    )
+
+    big = load_config("ffhq_64_scaled")
+    big.prior = "Transformer"
+    assert TransformerPrior(big).attn == "flash"  # auto at S = 867
