@@ -96,12 +96,12 @@ def test_blocked_prior_forward_matches_dense():
 
 
 def test_attn_auto_selection():
-    """auto → dense below the threshold, blocked at the scaled grids; an
-    explicit bad value raises."""
+    """auto → dense below the threshold, flash (→ blocked off-TPU) at
+    the scaled grids; an explicit bad value raises."""
     cfg = load_config("pixelcnn_mnist_28")  # r=8, C=3 → S=192
     assert TransformerPrior(cfg).attn == "dense"
     cfg.representation_dim = 17  # S=867
-    assert TransformerPrior(cfg).attn == "blocked"
+    assert TransformerPrior(cfg).attn == "flash"
     cfg.prior_attn = "dense"
     assert TransformerPrior(cfg).attn == "dense"
     cfg.prior_attn = "bogus"
