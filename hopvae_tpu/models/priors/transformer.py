@@ -58,11 +58,13 @@ from hopvae_tpu.ops.attention import (
 )
 from hopvae_tpu.ops.hopfield import layer_norm
 
-# past this sequence length, "auto" switches the training forward to the
-# blocked backend: at S=512 the dense score tensor is already
-# B·heads·S²·4B ≈ 268 MB at batch 64 — and it is saved per layer for the
-# backward, while blocked holds one (B, h, 256, 256) tile
-_AUTO_BLOCKED_SEQ = 512
+# past this sequence length, "auto" leaves the dense backend: at S=512
+# the dense score tensor is already B·heads·S²·4B ≈ 268 MB at batch 64 —
+# and it is saved per layer for the backward — while flash/blocked hold
+# one block tile. Auto picks the Mosaic flash kernel (which falls back
+# to blocked off-TPU), or blocked directly for head dims the kernel
+# rejects (dh > 128 and not a multiple of 128).
+_AUTO_STREAMING_SEQ = 512
 
 
 def _ln(x, p):
@@ -103,11 +105,18 @@ class TransformerPrior:
             )
         self.seq = self.representation_dim**2 * self.index_dim
         attn = getattr(config, "prior_attn", "auto")
+        dh = self.d // self.heads
         if attn == "auto":
-            # large grids: the Mosaic flash kernel (which itself falls
-            # back to blocked off-TPU, ops/attention.py) — never dense's
-            # (B, h, S, S) materialization
-            attn = "flash" if self.seq >= _AUTO_BLOCKED_SEQ else "dense"
+            if self.seq < _AUTO_STREAMING_SEQ:
+                attn = "dense"
+            elif dh <= 128 or dh % 128 == 0:
+                # large grids: the Mosaic flash kernel (which itself
+                # falls back to blocked off-TPU, ops/attention.py) —
+                # never dense's (B, h, S, S) materialization
+                attn = "flash"
+            else:
+                # the kernel rejects head dims > 128 that aren't 128-multiples
+                attn = "blocked"
         if attn not in ("dense", "blocked", "flash"):
             raise ValueError(f"prior_attn must be auto|dense|blocked|flash, got {attn!r}")
         if attn == "dense" and self.seq >= 1024:
@@ -117,7 +126,7 @@ class TransformerPrior:
                 f"warning: prior_attn=dense at S={self.seq} materializes "
                 f"{self.heads * self.seq**2 * 4 / 2**20:.0f} MiB of attention "
                 "scores per sample per layer (training OOM risk) — use "
-                "prior_attn=blocked (the auto default at this size)",
+                "prior_attn=flash (the auto default at this size)",
                 file=sys.stderr,
             )
         self.attn = attn

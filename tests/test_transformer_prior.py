@@ -312,3 +312,19 @@ def test_flash_backend_matches_dense_and_auto_selects_it():
     big = load_config("ffhq_64_scaled")
     big.prior = "Transformer"
     assert TransformerPrior(big).attn == "flash"  # auto at S = 867
+
+
+def test_auto_avoids_flash_for_unsupported_head_dims():
+    """The Mosaic kernel rejects head dims > 128 that aren't 128-multiples
+    (NotImplementedError at trace time on TPU) — auto must route those to
+    the blocked backend instead of crashing on hardware (review finding)."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 17  # S = 867 >= auto threshold
+    cfg.prior_d_model = 768
+    cfg.prior_heads = 4  # dh = 192: flash-unsupported
+    assert TransformerPrior(cfg).attn == "blocked"
+    cfg.prior_heads = 3  # dh = 256: 128-multiple, flash ok
+    assert TransformerPrior(cfg).attn == "flash"
+    cfg.prior_d_model = 128
+    cfg.prior_heads = 4  # dh = 32 <= 128: flash ok
+    assert TransformerPrior(cfg).attn == "flash"

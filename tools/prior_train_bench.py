@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     batches = args.batch or [64] * len(args.configs)
+    if len(batches) == 1:
+        batches = batches * len(args.configs)  # one --batch broadcasts
+    if len(batches) != len(args.configs):
+        ap.error(f"--batch needs 1 or {len(args.configs)} values, got {len(batches)}")
 
     import jax
     import jax.numpy as jnp
