@@ -156,9 +156,13 @@ def flash_causal_attention(
     the blocked XLA backend at heads=4 (207 vs 252 ms/iter) and **5.1×**
     at heads=1 (49.7 ms) — dh=128 fills the MXU's contraction width
     where dh=32 runs it at a quarter; prefer ``prior_heads=1`` on TPU at
-    the large grids.  Off-TPU (the CPU test mesh) this transparently
-    falls back to :func:`blocked_causal_attention` — same math, same
-    tolerances.
+    the large grids.  Memory: the kernel pads dh to its 128-wide blocks,
+    so at dh=32 its training residuals cost ~1.9× the blocked backend's
+    (13.6 vs 7.1 GiB XLA temp at r=33 batch 64, ``tools/attn_memory.py``)
+    while at dh=128 they are ~equal (5.85 vs 5.09 GiB) — pick blocked
+    only when a small-head config is memory-bound.  Off-TPU (the CPU
+    test mesh) this transparently falls back to
+    :func:`blocked_causal_attention` — same math, same tolerances.
     """
     b, s, h, dh = q.shape
     if scale is None:

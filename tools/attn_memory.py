@@ -13,6 +13,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,11 +25,13 @@ from hopvae_tpu.config import load_config
 from hopvae_tpu.models.priors.transformer import TransformerPrior
 
 
-def measure(r: int, attn: str, batch: int) -> dict:
+def measure(r: int, attn: str, batch: int, heads=None) -> dict:
     cfg = load_config("pixelcnn_mnist_28")
     cfg.representation_dim = r
     cfg.num_levels = 512
     cfg.prior_attn = attn
+    if heads is not None:
+        cfg.prior_heads = heads
     prior = TransformerPrior(cfg)
     params = prior.init(jax.random.PRNGKey(0))
     g = jnp.zeros((batch, r, r, cfg.index_dim), jnp.float32)
@@ -35,7 +41,7 @@ def measure(r: int, attn: str, batch: int) -> dict:
         tgt = g.astype(jnp.int32)
         return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], axis=-1))
 
-    row = {"r": r, "seq": prior.seq, "attn": attn, "batch": batch}
+    row = {"r": r, "seq": prior.seq, "attn": attn, "batch": batch, "heads": prior.heads}
     lowered = jax.jit(jax.value_and_grad(nll)).lower(params, g)
     try:
         ma = lowered.compile().memory_analysis()
@@ -60,10 +66,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--geometries", type=int, nargs="+", default=[17, 33])
+    ap.add_argument("--heads", type=int, default=None)
     args = ap.parse_args()
     for r in args.geometries:
-        for attn in ("dense", "blocked"):
-            row = measure(r, attn, args.batch)
+        for attn in ("dense", "blocked", "flash"):
+            row = measure(r, attn, args.batch, args.heads)
             print(json.dumps(row))
 
 
