@@ -71,6 +71,13 @@ def _ln(x, p):
     return layer_norm(x, p["scale"], p["bias"])
 
 
+def _quantize_token(x):
+    """Per-token absmax int8: (B, W) → (codes int8 (B, W), scale f32 (B,))."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
 def _ln_init(d):
     return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
 
@@ -132,8 +139,16 @@ class TransformerPrior:
         self.attn = attn
         self.q_block = getattr(config, "prior_q_block", 256)
         self.kv_block = getattr(config, "prior_kv_block", 256)
-        cdt = getattr(config, "prior_cache_dtype", "bfloat16")
-        self.cache_dtype = jnp.bfloat16 if str(cdt) in ("bfloat16", "bf16") else jnp.float32
+        cdt = str(getattr(config, "prior_cache_dtype", "bfloat16"))
+        if cdt in ("bfloat16", "bf16"):
+            self.cache_dtype = jnp.bfloat16
+        elif cdt == "int8":
+            # per-token absmax-quantized K/V caches: halves the decode's
+            # cache bytes again vs bf16 (the step is ~90% cache-read bound
+            # at r>=17); scores/outputs dequantize via a per-token scale
+            self.cache_dtype = jnp.int8
+        else:
+            self.cache_dtype = jnp.float32
         # AR-decode segment length (growing-cache scan, see _decode_all).
         # Measured 2026-08-17 (v5e): r=8/batch-1024 12,982 samples/s at
         # seg=64 vs 9,064 unsegmented; r=17/batch-2048 778 at seg=128 vs
@@ -240,11 +255,16 @@ class TransformerPrior:
     # Shared by the sampler and the teacher-forced `decode_logits` (the
     # cache-correctness test surface).
     #
-    # Decode-speed notes (measured on the v5e, 2026-08-17): the step is
+    # Decode-speed notes (measured on the v5e, 2026-08-17/18): the step is
     # HBM-bound on reading the caches, so ``prior_cache_dtype`` defaults
     # to bfloat16 for :meth:`sample` (halves the bytes; scores/softmax
     # still accumulate f32) while ``decode_logits`` pins f32 caches to
-    # keep the cache-vs-dense exactness gate tight.  A block-structured
+    # keep the cache-vs-dense exactness gate tight.
+    # ``prior_cache_dtype="int8"`` (per-token absmax K/V with (B, S)
+    # scale side-caches) halves the bytes again: 1,252 vs 778 samples/s
+    # at r=17 batch 2048 (1.61×) and 90.6 vs 59.5 at r=33 batch 256
+    # (1.52×), at ≤5%-of-max relative logit error (tested) — opt-in,
+    # bf16 stays the default.  A block-structured
     # cache with a ``lax.cond``-skipped inner scan (read only the valid
     # prefix) was measured 3.6× SLOWER at r=8 (1.3k vs 4.8k samples/s,
     # batch 1024) — per-iteration loop/branch overhead dwarfs the ~2×
@@ -261,6 +281,18 @@ class TransformerPrior:
         for p, cache in zip(params["blocks"], caches):
             q, kk, vv = self._split_qkv(p, x)
             cdt = cache["k"].dtype
+            new_cache = {}
+            if cdt == jnp.int8:
+                # per-token absmax quantization; the scale rows live in
+                # tiny (B, S) side caches and are folded back in below
+                kk, sk = _quantize_token(kk)
+                vv, sv = _quantize_token(vv)
+                new_cache["ks"] = jax.lax.dynamic_update_slice(
+                    cache["ks"], sk[:, None], (0, t)
+                )
+                new_cache["vs"] = jax.lax.dynamic_update_slice(
+                    cache["vs"], sv[:, None], (0, t)
+                )
             if kv == 1:
                 # MQA: a 3D (B, S, dh) cache and a single shared-KV einsum —
                 # no singleton batch dim for the compiler to trip over
@@ -281,15 +313,23 @@ class TransformerPrior:
                 )
                 q = q.reshape(b, kv, g, dh)
                 qk, av = "bkgd,bskd->bkgs", "bkgs,bskd->bkgd"
-            new_caches.append({"k": k_cache, "v": v_cache})
+            new_cache["k"], new_cache["v"] = k_cache, v_cache
+            new_caches.append(new_cache)
             scores = jnp.einsum(
                 qk, q, k_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ) / jnp.sqrt(float(dh))
+            s_bcast = (slice(None), None, slice(None)) if kv == 1 else (
+                slice(None), None, None, slice(None)
+            )
+            if cdt == jnp.int8:
+                scores = scores * new_cache["ks"][s_bcast]
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1) <= t
             )
             att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
+            if cdt == jnp.int8:
+                att = att * new_cache["vs"][s_bcast]
             y = jnp.einsum(
                 av, att.astype(q.dtype), v_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
@@ -305,10 +345,11 @@ class TransformerPrior:
         kv, dh = self.kv_heads, self.d // self.heads
         length = self.seq if length is None else length
         shape = (b, length, dh) if kv == 1 else (b, length, kv, dh)
-        return [
-            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-            for _ in range(self.n_layers)
-        ]
+        one = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        if dtype == jnp.int8:  # per-token dequantization scales
+            one["ks"] = jnp.zeros((b, length), jnp.float32)
+            one["vs"] = jnp.zeros((b, length), jnp.float32)
+        return [dict(one) for _ in range(self.n_layers)]
 
     def _decode_all(self, params, b, x_of, emit, extra_init, cache_dtype):
         """AR decode over all S positions as ``nb`` growing-cache segments.
@@ -335,14 +376,11 @@ class TransformerPrior:
                 grow = min((k + 1) * T, s) - k * T
                 caches = [
                     {
-                        "k": jnp.concatenate(
-                            [c["k"], jnp.zeros((b, grow) + c["k"].shape[2:], cache_dtype)],
+                        name: jnp.concatenate(
+                            [arr, jnp.zeros((b, grow) + arr.shape[2:], arr.dtype)],
                             axis=1,
-                        ),
-                        "v": jnp.concatenate(
-                            [c["v"], jnp.zeros((b, grow) + c["v"].shape[2:], cache_dtype)],
-                            axis=1,
-                        ),
+                        )
+                        for name, arr in c.items()
                     }
                     for c in caches
                 ]
@@ -381,10 +419,12 @@ class TransformerPrior:
         grid = draws.T.reshape(b, self.representation_dim, self.representation_dim, self.index_dim)
         return grid.astype(jnp.float32)
 
-    def decode_logits(self, params, grid: jax.Array) -> jax.Array:
+    def decode_logits(self, params, grid: jax.Array, cache_dtype=jnp.float32) -> jax.Array:
         """Teacher-forced logits through the SAME KV-cached decode path as
         :meth:`sample` — must match :meth:`forward` (cache-correctness
-        gate; see tests).  Caches pinned f32 here so the gate stays tight."""
+        gate; see tests).  Caches default to f32 so the gate stays tight;
+        pass ``cache_dtype=jnp.int8`` to measure the quantized-cache
+        path's logit error."""
         params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
         b = grid.shape[0]
         tokens = grid.astype(jnp.int32).reshape(b, self.seq)
@@ -399,7 +439,7 @@ class TransformerPrior:
         def emit(extra, t, logits):
             return extra, logits
 
-        logits = self._decode_all(params, b, x_of, emit, jnp.zeros(()), jnp.float32)
+        logits = self._decode_all(params, b, x_of, emit, jnp.zeros(()), cache_dtype)
         logits = jnp.moveaxis(logits, 0, 1)  # (B, S, L)
         return logits.reshape(
             b, self.representation_dim, self.representation_dim,

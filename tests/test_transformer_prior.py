@@ -328,3 +328,40 @@ def test_auto_avoids_flash_for_unsupported_head_dims():
     cfg.prior_d_model = 128
     cfg.prior_heads = 4  # dh = 32 <= 128: flash ok
     assert TransformerPrior(cfg).attn == "flash"
+
+
+@pytest.mark.parametrize("kv_heads", [2, 1])
+def test_int8_kv_cache_decode(kv_heads):
+    """prior_cache_dtype=int8: the quantized-cache decode must stay close
+    to the f32 decode (per-token absmax int8 on K/V), and sampling must
+    run with the side scale caches through the growing-segment scan."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 5
+    cfg.index_dim = 3
+    cfg.num_levels = 16
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_kv_heads = kv_heads
+    cfg.prior_layers = 2
+    cfg.prior_cache_dtype = "int8"
+    cfg.prior_decode_segment = 16  # force several growing segments (S=75)
+    prior = TransformerPrior(cfg)
+    assert prior.cache_dtype == jnp.int8
+    params = prior.init(jax.random.PRNGKey(0))
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(11).integers(0, cfg.num_levels, (2, r, r, c)), jnp.float32
+    )
+    exact = jax.jit(prior.forward)(params, g)
+    quant = jax.jit(lambda p, g: prior.decode_logits(p, g, cache_dtype=jnp.int8))(params, g)
+    # int8 per-token quantization: small relative logit error, not exact
+    err = float(jnp.max(jnp.abs(quant - exact)))
+    scale = float(jnp.max(jnp.abs(exact)))
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
+    # f32 gate unchanged
+    gate = jax.jit(prior.decode_logits)(params, g)
+    np.testing.assert_allclose(np.asarray(gate), np.asarray(exact), rtol=2e-5, atol=2e-5)
+
+    s = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(5)))
+    assert s.shape == (3, r, r, c) and s.min() >= 0 and s.max() <= cfg.num_levels - 1
