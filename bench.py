@@ -396,6 +396,20 @@ def main():
     )
     details["transformer_prior_r17_samples_per_sec_tpu"] = 2048 / t17
 
+    # the int8 KV-cache option (per-token absmax; transformer.py decode
+    # notes): same geometry, half the cache bytes again vs bf16
+    tcfg17q = load_config("pixelcnn_mnist_28")
+    tcfg17q.representation_dim = 17
+    tcfg17q.num_levels = 512
+    tcfg17q.prior_cache_dtype = "int8"
+    tf17q = TransformerPrior(tcfg17q)
+    t17q = device_seconds_per_iter(
+        _sampler_step(lambda k: tf17q.sample(tf17_params, k, 2048)),
+        jax.random.PRNGKey(0),
+        iters=3,
+    )
+    details["transformer_prior_r17_int8_samples_per_sec_tpu"] = 2048 / t17q
+
     # scaled-config AR sampling (r=17, 4096-level prior grid): the
     # column-incremental sampler's headline (VERDICT r1 #6)
     sprior_params = smodel.init(jax.random.PRNGKey(0))["prior"]
