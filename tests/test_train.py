@@ -570,3 +570,44 @@ def test_metric_logger_writes_only_on_process_zero(monkeypatch, tmp_path):
     lg.log({"loss": 1.0})
     recs = [json.loads(l) for l in open(tmp_path / "w" / "metrics.jsonl")]
     assert len(recs) == 1 and recs[0]["loss"] == 1.0
+
+
+def test_sharded_transformer_prior_phase_matches_single_device():
+    """The Transformer-prior PRIOR-phase train step (prior-only optimizer,
+    blocked attention's nested scans) must agree between a 1-device and an
+    8-device mesh — the third prior family under real pjit sharding."""
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg("pixelcnn_mnist_28", batch=16)
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_layers = 2
+    cfg.prior_attn = "blocked"
+    cfg.prior_q_block = 64
+    cfg.prior_kv_block = 32
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((16, 28, 28, 1)).astype(np.float32)
+
+    results = []
+    for devs in (jax.devices()[:1], jax.devices()[:8]):
+        mesh = mesh_lib.make_mesh(devices=devs)
+        tr = Trainer(model, cfg, mesh=mesh)
+        tr._tx = {True: make_optimizer(cfg, 1, prior_only=True, params=params)}
+        p = mesh_lib.shard_params(mesh, jax.device_get(params))
+        opt = tr._tx[True].init(p)
+        bx = mesh_lib.shard_batch(mesh, jnp.asarray(x))
+        for _ in range(2):
+            p, opt, m = tr.train_step(True)(p, opt, bx)
+        results.append(
+            (
+                jax.device_get(p["prior"]["blocks"][0]["qkv"]["kernel"]),
+                jax.device_get(p["encoder"]["conv_1"]["kernel"]),
+                float(m["loss"]),
+            )
+        )
+
+    # prior weights trained identically; encoder frozen identically
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+    assert results[0][2] == pytest.approx(results[1][2], rel=2e-5)
