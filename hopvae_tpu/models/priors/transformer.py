@@ -71,11 +71,16 @@ def _ln(x, p):
     return layer_norm(x, p["scale"], p["bias"])
 
 
-def _quantize_token(x):
-    """Per-token absmax int8: (B, W) → (codes int8 (B, W), scale f32 (B,))."""
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1) / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
-    return q, s.astype(jnp.float32)
+def _quantize_token(x, kv):
+    """Per-(token, kv-head) absmax int8: (B, kv·dh) → (codes int8
+    (B, kv·dh), scales f32 (B, kv)).  One scale PER HEAD — a single
+    per-token scale would crush a head whose activations are dwarfed by
+    another's on trained checkpoints (review finding)."""
+    b, w = x.shape
+    xh = x.reshape(b, kv, w // kv)
+    s = jnp.maximum(jnp.max(jnp.abs(xh), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xh / s[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(b, w), s.astype(jnp.float32)
 
 
 def _ln_init(d):
@@ -143,12 +148,17 @@ class TransformerPrior:
         if cdt in ("bfloat16", "bf16"):
             self.cache_dtype = jnp.bfloat16
         elif cdt == "int8":
-            # per-token absmax-quantized K/V caches: halves the decode's
-            # cache bytes again vs bf16 (the step is ~90% cache-read bound
-            # at r>=17); scores/outputs dequantize via a per-token scale
+            # per-(token, kv-head) absmax-quantized K/V caches: halves the
+            # decode's cache bytes again vs bf16 (the step is ~90%
+            # cache-read bound at r>=17); scores/outputs dequantize via
+            # the scale side-caches
             self.cache_dtype = jnp.int8
-        else:
+        elif cdt in ("float32", "f32"):
             self.cache_dtype = jnp.float32
+        else:
+            raise ValueError(
+                f"prior_cache_dtype must be float32|bfloat16|int8, got {cdt!r}"
+            )
         # AR-decode segment length (growing-cache scan, see _decode_all).
         # Measured 2026-08-17 (v5e): r=8/batch-1024 12,982 samples/s at
         # seg=64 vs 9,064 unsegmented; r=17/batch-2048 778 at seg=128 vs
@@ -283,15 +293,15 @@ class TransformerPrior:
             cdt = cache["k"].dtype
             new_cache = {}
             if cdt == jnp.int8:
-                # per-token absmax quantization; the scale rows live in
-                # tiny (B, S) side caches and are folded back in below
-                kk, sk = _quantize_token(kk)
-                vv, sv = _quantize_token(vv)
+                # per-(token, kv-head) absmax quantization; the scales
+                # live in tiny (B, S, kv) side caches, folded back below
+                kk, sk = _quantize_token(kk, kv)
+                vv, sv = _quantize_token(vv, kv)
                 new_cache["ks"] = jax.lax.dynamic_update_slice(
-                    cache["ks"], sk[:, None], (0, t)
+                    cache["ks"], sk[:, None, :], (0, t, 0)
                 )
                 new_cache["vs"] = jax.lax.dynamic_update_slice(
-                    cache["vs"], sv[:, None], (0, t)
+                    cache["vs"], sv[:, None, :], (0, t, 0)
                 )
             if kv == 1:
                 # MQA: a 3D (B, S, dh) cache and a single shared-KV einsum —
@@ -319,17 +329,19 @@ class TransformerPrior:
                 qk, q, k_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ) / jnp.sqrt(float(dh))
-            s_bcast = (slice(None), None, slice(None)) if kv == 1 else (
-                slice(None), None, None, slice(None)
-            )
+            def _scale(sc):  # (B, S, kv) → broadcastable over the scores
+                if kv == 1:  # scores (B, h, S)
+                    return sc[..., 0][:, None, :]
+                return jnp.swapaxes(sc, 1, 2)[:, :, None, :]  # (B, kv, 1, S)
+
             if cdt == jnp.int8:
-                scores = scores * new_cache["ks"][s_bcast]
+                scores = scores * _scale(new_cache["ks"])
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1) <= t
             )
             att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
             if cdt == jnp.int8:
-                att = att * new_cache["vs"][s_bcast]
+                att = att * _scale(new_cache["vs"])
             y = jnp.einsum(
                 av, att.astype(q.dtype), v_cache.astype(q.dtype),
                 preferred_element_type=jnp.float32,
@@ -346,9 +358,9 @@ class TransformerPrior:
         length = self.seq if length is None else length
         shape = (b, length, dh) if kv == 1 else (b, length, kv, dh)
         one = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-        if dtype == jnp.int8:  # per-token dequantization scales
-            one["ks"] = jnp.zeros((b, length), jnp.float32)
-            one["vs"] = jnp.zeros((b, length), jnp.float32)
+        if dtype == jnp.int8:  # per-(token, kv-head) dequantization scales
+            one["ks"] = jnp.zeros((b, length, kv), jnp.float32)
+            one["vs"] = jnp.zeros((b, length, kv), jnp.float32)
         return [dict(one) for _ in range(self.n_layers)]
 
     def _decode_all(self, params, b, x_of, emit, extra_init, cache_dtype):

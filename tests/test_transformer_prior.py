@@ -365,3 +365,13 @@ def test_int8_kv_cache_decode(kv_heads):
 
     s = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(5)))
     assert s.shape == (3, r, r, c) and s.min() >= 0 and s.max() <= cfg.num_levels - 1
+
+
+def test_cache_dtype_validation():
+    """Unknown prior_cache_dtype strings must raise, not silently fall
+    back to f32 (review finding — a typo'd "i8" would double the cache
+    bytes while the user believes int8 is active)."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.prior_cache_dtype = "i8"
+    with pytest.raises(ValueError, match="prior_cache_dtype"):
+        TransformerPrior(cfg)

@@ -42,6 +42,10 @@ def measure(r: int, attn: str, batch: int, heads=None) -> dict:
         return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], axis=-1))
 
     row = {"r": r, "seq": prior.seq, "attn": attn, "batch": batch, "heads": prior.heads}
+    if attn == "flash" and jax.default_backend() != "tpu":
+        # flash_causal_attention falls back to blocked off-TPU — this row
+        # would silently duplicate the blocked numbers (review finding)
+        row["note"] = "off-TPU: flash falls back to blocked; numbers ARE the blocked backend's"
     lowered = jax.jit(jax.value_and_grad(nll)).lower(params, g)
     try:
         ma = lowered.compile().memory_analysis()
