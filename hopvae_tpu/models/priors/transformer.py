@@ -270,11 +270,13 @@ class TransformerPrior:
     # to bfloat16 for :meth:`sample` (halves the bytes; scores/softmax
     # still accumulate f32) while ``decode_logits`` pins f32 caches to
     # keep the cache-vs-dense exactness gate tight.
-    # ``prior_cache_dtype="int8"`` (per-token absmax K/V with (B, S)
-    # scale side-caches) halves the bytes again: 1,252 vs 778 samples/s
-    # at r=17 batch 2048 (1.61×) and 90.6 vs 59.5 at r=33 batch 256
-    # (1.52×), at ≤5%-of-max relative logit error (tested) — opt-in,
-    # bf16 stays the default.  A block-structured
+    # ``prior_cache_dtype="int8"`` (per-(token, kv-head) absmax K/V
+    # with (B, S, kv) scale side-caches) halves the bytes again: 1,173
+    # vs 778 samples/s at r=17 batch 2048 (1.51×) and 85.3 vs 59.5 at
+    # r=33 batch 256 (1.43×), at 1.6%-of-max logit error on the trained
+    # MNIST checkpoint (≤5% bounded by test; per-TOKEN scales were 6%
+    # faster but risk crushing a small head on trained models) —
+    # opt-in, bf16 stays the default.  A block-structured
     # cache with a ``lax.cond``-skipped inner scan (read only the valid
     # prefix) was measured 3.6× SLOWER at r=8 (1.3k vs 4.8k samples/s,
     # batch 1024) — per-iteration loop/branch overhead dwarfs the ~2×
