@@ -13,6 +13,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# runnable straight from a checkout (`python examples/quickstart.py`)
+# without `pip install -e .` — script execution puts examples/ on
+# sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
