@@ -107,11 +107,21 @@ def _read_image_uint8(path: str, image_size: int) -> np.ndarray:
     """One file → (H, W, 3) uint8. ``.npy`` must be pre-resized."""
     if path.endswith(".npy"):
         a = np.load(path)
-        if a.shape != (image_size, image_size, 3) or a.dtype != np.uint8:
+        if (
+            a.dtype != np.uint8
+            and np.issubdtype(a.dtype, np.integer)
+            and a.size
+            and 0 <= a.min()
+            and a.max() <= 255
+        ):
+            # integer arrays already in uint8 range (e.g. int64 from
+            # np.save of python ints) cast losslessly; floats still raise —
             # a silent cast would truncate e.g. float [0,1] images to 0/1
+            a = a.astype(np.uint8)
+        if a.shape != (image_size, image_size, 3) or a.dtype != np.uint8:
             raise ValueError(
                 f"{path}: expected pre-resized ({image_size},{image_size},3) "
-                f"uint8, got {a.shape} {a.dtype}"
+                f"uint8 (or integer values in [0,255]), got {a.shape} {a.dtype}"
             )
         return a
     from PIL import Image

@@ -108,12 +108,15 @@ class TransformerPrior:
         if self.kv_heads < self.heads and self.d // self.heads < 128:
             # measured on v5e (module docstring): below one 128-lane tile
             # per head the cache still pads to full lanes, so GQA saves no
-            # bytes and decodes slower
-            print(
-                f"warning: prior_kv_heads={self.kv_heads} < heads with head dim "
+            # bytes and decodes slower.  warnings.warn so sweeps that build
+            # many priors emit this once, not per construction
+            import warnings
+
+            warnings.warn(
+                f"prior_kv_heads={self.kv_heads} < heads with head dim "
                 f"{self.d // self.heads} < 128 — measured SLOWER on TPU (no "
                 "physical cache-byte saving below one 128-lane tile per head)",
-                file=sys.stderr,
+                stacklevel=2,
             )
         self.seq = self.representation_dim**2 * self.index_dim
         attn = getattr(config, "prior_attn", "auto")

@@ -171,6 +171,9 @@ def main(argv=None):
     parser.add_argument("--out", default="served")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-sample", type=int, default=16)
+    parser.add_argument("--max-batch", type=int, default=256,
+                        help="engine batch size cap; larger input counts are "
+                             "chunked through it (reconstruct + interpolate)")
     parser.add_argument("--impl", default="pallas", choices=("xla", "pallas"))
     parser.add_argument("--compute-dtype", default="bfloat16",
                         choices=("float32", "bfloat16"))
@@ -207,7 +210,7 @@ def main(argv=None):
     else:
         batch = 1
     engine = InferenceEngine(
-        config, params, max_batch=min(max(batch, 1), 256), n_sample=args.n_sample,
+        config, params, max_batch=min(max(batch, 1), args.max_batch), n_sample=args.n_sample,
         impl=args.impl,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else None,
         ops=(args.mode,),  # compile only what this invocation runs
@@ -236,7 +239,17 @@ def main(argv=None):
         # two whole eval batches, main.py:69,76)
         imgs = _load_images(args.inputs, config)
         half = len(imgs) // 2
-        y = engine.interpolate(imgs[:half], imgs[half:])
+        # chunk pairs through the engine's fixed batch size, exactly like
+        # reconstruct above (>max_batch pairs used to raise in _pad)
+        first, second = imgs[:half], imgs[half:]
+        y = np.concatenate(
+            [
+                engine.interpolate(
+                    first[i : i + engine.max_batch], second[i : i + engine.max_batch]
+                )
+                for i in range(0, half, engine.max_batch)
+            ]
+        )
         save_image_grid(
             os.path.join(args.out, "interpolations.png"),
             denormalize(y, config.data_set),

@@ -152,6 +152,8 @@ def lenient_merge(fresh: Any, loaded: Any, _path: str = "", dropped: list | None
             ] + list(fresh[len(loaded):])
             if dropped is not None and len(fresh) > len(loaded):
                 dropped.append(f"{_path}[{len(loaded)}:] (not in checkpoint)")
+            if dropped is not None and len(loaded) > len(fresh):
+                dropped.append(f"{_path}[{len(fresh)}:] (in checkpoint, no such param)")
             return type(fresh)(merged)
         if dropped is not None:
             dropped.append(f"{_path} (not in checkpoint)")

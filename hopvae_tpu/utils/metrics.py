@@ -61,7 +61,9 @@ class MetricLogger:
             if step is None:
                 step = self._step
                 self._step += 1
-            rec["step"] = step
+            # a caller-supplied "step" inside the metrics dict wins over the
+            # auto-counter (it did historically; keep that contract)
+            rec.setdefault("step", step)
             with open(self._path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             if self._wandb is not None:

@@ -202,3 +202,16 @@ def test_lenient_load_reports_dropped_subtrees(tmp_path, capsys):
         np.asarray(merged["pre_vq_conv"]["kernel"]),
         np.asarray(src["pre_vq_conv"]["kernel"]),
     )
+
+
+def test_lenient_merge_reports_extra_list_entries():
+    """Extra loaded list entries (len(loaded) > len(fresh)) are reported
+    like extra dict keys, not silently ignored (round-3 advisor finding)."""
+    from hopvae_tpu.utils.checkpoint import lenient_merge
+
+    fresh = {"blocks": [np.zeros((2,)), np.zeros((2,))]}
+    loaded = {"blocks": [np.ones((2,)), np.ones((2,)), np.ones((2,))]}
+    dropped = []
+    merged = lenient_merge(fresh, loaded, dropped=dropped)
+    assert len(merged["blocks"]) == 2
+    assert any("blocks[2:]" in d and "no such param" in d for d in dropped), dropped

@@ -250,6 +250,14 @@ def test_npy_reader_rejects_non_uint8(tmp_path):
         _read_image_uint8(str(p), 8)
     np.save(p, (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8))
     assert _read_image_uint8(str(p), 8).dtype == np.uint8
+    # integer dtypes whose values fit [0,255] cast losslessly (round-4
+    # advisor finding: int64 from np.save of python ints used to raise)
+    np.save(p, np.full((8, 8, 3), 200, np.int64))
+    a = _read_image_uint8(str(p), 8)
+    assert a.dtype == np.uint8 and int(a[0, 0, 0]) == 200
+    np.save(p, np.full((8, 8, 3), 256, np.int64))  # out of range still raises
+    with pytest.raises(ValueError, match="uint8"):
+        _read_image_uint8(str(p), 8)
 
 
 def test_local_slice_requires_drop_remainder():

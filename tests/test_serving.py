@@ -174,6 +174,37 @@ def test_cli_interpolate(tmp_path):
         ])
 
 
+def test_cli_chunks_past_max_batch(tmp_path):
+    """Input counts beyond the engine's max_batch are chunked through it in
+    BOTH reconstruct and interpolate modes (round-3 review: interpolate
+    passed whole halves in one call and raised in _pad past 256 pairs)."""
+    from PIL import Image
+
+    from hopvae_tpu import serving
+    from hopvae_tpu.utils.checkpoint import save_params
+
+    cfg = load_config("mnist_28")
+    params = HopVAE(cfg).init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "m.msgpack"
+    save_params(str(ckpt), params)
+
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(6):
+        p = tmp_path / f"d{i}.png"
+        Image.fromarray((rng.random((28, 28)) * 255).astype(np.uint8)).save(p)
+        files.append(str(p))
+
+    base = ["--config", "mnist_28", "--checkpoint", str(ckpt),
+            "--impl", "xla", "--compute-dtype", "float32", "--max-batch", "2"]
+    serving.main(base + ["--mode", "interpolate",
+                         "--out", str(tmp_path / "si"), *files])  # 3 pairs > 2
+    assert (tmp_path / "si" / "interpolations.png").exists()
+    serving.main(base + ["--mode", "reconstruct",
+                         "--out", str(tmp_path / "sr"), *files])  # 6 > 2
+    assert (tmp_path / "sr" / "reconstructions.png").exists()
+
+
 def test_cli_validates_inputs_before_compiling(monkeypatch, tmp_path):
     """Bad input counts must abort BEFORE InferenceEngine pays the AOT
     compile (review finding)."""
