@@ -538,35 +538,73 @@ class Trainer:
         return np.asarray(arr)
 
     def evaluate(self, params, test_ds, *, out_dir, epoch, logger=None, n_sample_images: int = 16):
+        """Recon-MSE sweep + interpolation/sample grids (``main.py:46-86``).
+
+        Device-sync discipline: the per-batch MSE scalars stay ON DEVICE
+        during the sweep and are fetched once at the end (one stack + one
+        host round-trip instead of n_batches of them — on the tunneled
+        backend every per-batch ``float()`` cost a ~30 ms dispatch stall;
+        measured eval wall-clock in BASELINE.md).  The last batch's
+        reconstruction likewise stays a device ref until the single
+        grid fetch.
+
+        Multi-host (``HOPVAE_MULTIHOST=1`` slices): mirrors ``fit`` — each
+        process reads/decodes only its ``process_batch_bounds`` slice of
+        every global batch and contributes it via ``shard_batch``, so the
+        jitted step's ``jnp.mean`` reduces over the GLOBAL batch (XLA
+        inserts the collective from the shardings) and every process
+        returns the same "Test Reconstruction Error".  The ragged tail
+        batch is dropped on slices (it cannot be sharded evenly —
+        documented divergence; single-process keeps the reference's
+        ragged-tail behavior).  Grid fetches gather via ``_fetch`` on all
+        processes (collectives), but only process 0 writes PNGs/JSONL."""
         cfg = self.config
-        total = 0.0
+        multi = jax.process_count() > 1
+        local = (
+            mesh_lib.process_batch_bounds(self.mesh, cfg.batch_size) if multi else None
+        )
+        mses = []
         first_batches = []
         last = None
-        for bx, _ in iterate_batches(test_ds, cfg.batch_size, shuffle=False):
+        for bx, _ in iterate_batches(
+            test_ds, cfg.batch_size, shuffle=False,
+            drop_remainder=multi, local_slice=local,
+        ):
+            if multi:
+                bx = mesh_lib.shard_batch(self.mesh, bx, global_batch=cfg.batch_size)
             x_recon, mse, _ = self.eval_step(params, bx)
-            total += float(mse)
+            mses.append(mse)
             if len(first_batches) < 2:
                 first_batches.append(bx)
-            last = (bx, self._fetch(x_recon))
+            last = (bx, x_recon)
 
         # interpolation of the first two test batches (main.py:53-58,69)
         inter = None
         if len(first_batches) == 2 and first_batches[0].shape == first_batches[1].shape:
-            inter = self._fetch(
-                self.interpolate_fn(params, first_batches[1], first_batches[0])
-            )
+            inter = self.interpolate_fn(params, first_batches[1], first_batches[0])
 
-        samples = self._fetch(
-            self.sample_fn(params, jax.random.PRNGKey(cfg.seed + epoch), n_sample_images)
+        samples = self.sample_fn(
+            params, jax.random.PRNGKey(cfg.seed + epoch), n_sample_images
         )
 
-        grids = {"inputs": last[0], "reconstructions": last[1], "samples": samples}
+        # ONE sweep fetch: stack the device scalars, pull them together
+        total = (
+            float(np.asarray(self._fetch(jnp.stack(mses)), np.float64).sum())
+            if mses
+            else 0.0
+        )
+
+        grids = {"samples": samples}
+        if last is not None:
+            grids["inputs"], grids["reconstructions"] = last
         if inter is not None:
             grids["interpolations"] = inter
         if len(first_batches) == 2:
             # the raw interpolation endpoints, like the reference's
             # "Test Z"/"Test Y" wandb grids (main.py:74-77)
             grids["test_Y"], grids["test_Z"] = first_batches[0], first_batches[1]
+        # gather on every process (collective), write on process 0 only
+        grids = {k: self._fetch(v) for k, v in grids.items()}
         if jax.process_index() == 0:  # shared out_dir: one writer (cf. save)
             for name, imgs in grids.items():
                 save_image_grid(

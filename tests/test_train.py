@@ -611,3 +611,71 @@ def test_sharded_transformer_prior_phase_matches_single_device():
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5, atol=1e-6)
     np.testing.assert_array_equal(results[0][1], results[1][1])
     assert results[0][2] == pytest.approx(results[1][2], rel=2e-5)
+
+
+def test_evaluate_device_accumulation_matches_per_batch_sum(tmp_path):
+    """The single-fetch eval sweep (per-batch MSEs stacked on device,
+    fetched once — round-4) must return the same value as the old
+    per-batch ``float()`` host sum, ragged tail included."""
+    cfg = _tiny_cfg(batch=8)
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    _, _, test_ds = get_datasets(cfg, None)
+    test_ds.images, test_ds.labels = test_ds.images[:20], test_ds.labels[:20]  # 8+8+4
+
+    tr = Trainer(model, cfg)
+    err = tr.evaluate(params, test_ds, out_dir=str(tmp_path), epoch=0)
+
+    from hopvae_tpu.data import iterate_batches
+
+    total = 0.0
+    for bx, _ in iterate_batches(test_ds, cfg.batch_size, shuffle=False):
+        _, mse, _ = tr.eval_step(params, bx)
+        total += float(mse)
+    np.testing.assert_allclose(err, total / len(test_ds), rtol=1e-6)
+    assert (tmp_path / "epoch0000_reconstructions.png").exists()
+
+
+def test_multihost_evaluate_inside_fit(monkeypatch, tmp_path):
+    """Forced 2-process fit (VERDICT r3 #2): evaluate shards the sweep like
+    fit (local_slice + shard_batch), reduces the recon MSE globally, and
+    logs ONE correct 'Test Reconstruction Error' — equal to the
+    single-process value on the same data."""
+    def _run(out):
+        cfg = _tiny_cfg(batch=8)
+        model = HopVAE(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        train_ds, _, test_ds = get_datasets(cfg, None)
+        train_ds.images, train_ds.labels = train_ds.images[:16], train_ds.labels[:16]
+        test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+        tr = Trainer(model, cfg)
+        tr.fit(params, train_ds, test_ds, epochs=1, out_dir=out,
+               eval_every=1, save_every=0)
+        recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+        return [r["Test Reconstruction Error"] for r in recs
+                if "Test Reconstruction Error" in r]
+
+    single = _run(str(tmp_path / "single"))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    multi = _run(str(tmp_path / "multi"))
+    assert len(single) == len(multi) == 1
+    np.testing.assert_allclose(multi[0], single[0], rtol=1e-5)
+    assert (tmp_path / "multi" / "epoch0000_reconstructions.png").exists()
+    assert (tmp_path / "multi" / "epoch0000_interpolations.png").exists()
+
+
+def test_multihost_evaluate_nonzero_process_writes_nothing(monkeypatch, tmp_path):
+    """On a slice, non-zero processes run the same collectives but write
+    no grids (shared out_dir: one writer — same contract as save)."""
+    cfg = _tiny_cfg(batch=8)
+    model = HopVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    _, _, test_ds = get_datasets(cfg, None)
+    test_ds.images, test_ds.labels = test_ds.images[:16], test_ds.labels[:16]
+    tr = Trainer(model, cfg)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    err = tr.evaluate(params, test_ds, out_dir=str(tmp_path), epoch=0)
+    assert np.isfinite(err)
+    assert list(tmp_path.iterdir()) == []
