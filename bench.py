@@ -320,6 +320,46 @@ def main():
     details["pallas_hw_bwd_grad_scale"] = gscale
     assert bwd_err < 1e-4 * max(gscale, 1.0), f"on-hardware gradient gate failed: {bwd_err} vs scale {gscale}"
 
+    # ---- on-hardware flash-attention numerics gate (VERDICT r3 #1) -------
+    # The Mosaic flash kernel is the production TRAINING path for the
+    # Transformer prior at S>=512 (prior_attn=auto), but off-TPU it falls
+    # back to blocked — so the CPU suite never exercises the actual kernel.
+    # Gate it here like the Hopfield kernel above: values AND grads vs the
+    # blocked XLA backend, f32, at the real prior geometries S=867 (r=17)
+    # and S=3267 (r=33) — both non-multiples of 128, exercising the
+    # end-padding claim — at h=1 (dh=128) and h=4 (dh=32).
+    # Tolerances are calibrated on-hardware (2026-08-18): fwd drift ~9e-4
+    # abs at O(3) outputs, grad drift ~0.6% of max grad — pure TPU
+    # default-precision reordering; asserts carry ~5x headroom.  A masking
+    # or padding bug presents as O(1) errors, far beyond these gates.
+    from hopvae_tpu.ops.attention import blocked_causal_attention, flash_causal_attention
+
+    for s, h in ((867, 1), (867, 4), (3267, 1), (3267, 4)):
+        dh = 128 // h
+        arng = np.random.default_rng(s * 10 + h)
+        q, k, v, w = (
+            jnp.asarray(arng.standard_normal((4, s, h, dh)), jnp.float32)
+            for _ in range(4)
+        )
+        ob = jax.jit(blocked_causal_attention)(q, k, v)
+        of = jax.jit(flash_causal_attention)(q, k, v)
+        aerr = float(jnp.max(jnp.abs(ob - of)))
+        details[f"pallas_hw_flash_fwd_max_abs_err_S{s}_h{h}"] = aerr
+        assert aerr < 5e-3, f"flash fwd gate failed at S={s} h={h}: {aerr}"
+
+        def _aloss(fn, w=w, s=s):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) * w) / s
+
+        gb = jax.jit(jax.grad(_aloss(blocked_causal_attention), argnums=(0, 1, 2)))(q, k, v)
+        gf = jax.jit(jax.grad(_aloss(flash_causal_attention), argnums=(0, 1, 2)))(q, k, v)
+        agscale = max(float(jnp.max(jnp.abs(g))) for g in gb)
+        agerr = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(gb, gf))
+        details[f"pallas_hw_flash_bwd_max_abs_err_S{s}_h{h}"] = agerr
+        details[f"pallas_hw_flash_bwd_grad_scale_S{s}_h{h}"] = agscale
+        assert agerr < 2e-2 * agscale, (
+            f"flash grad gate failed at S={s} h={h}: {agerr} vs scale {agscale}"
+        )
+
     # ---- side: MNIST-28 golden recon MSE + throughput -------------------
     mcfg = load_config("mnist_28")
     mmodel = HopVAE(mcfg)
@@ -337,6 +377,36 @@ def main():
     details["mnist28_golden_aux_loss"] = float(aux)
     dt = device_seconds_per_iter(lambda s: mmodel.forward(mparams, s)[0], mx)
     details["mnist28_recon_images_per_sec_tpu"] = 256 / dt
+
+    # ---- standing prior-quality contract (VERDICT r3 #4) ----------------
+    # Teacher-forced bits for the SHIPPED prior checkpoints on a held-out
+    # rendered-digit split (seed=1; deterministic, hermetic).  Until now
+    # bench measured sampler SPEED with random priors only — a regression
+    # that degrades-but-runs (sampler or attention bug) passed every gate.
+    # bits = aux(fit_prior=True) - aux(fit_prior=False): the cross-entropy
+    # term in bits exactly as trained (HopVAE.py:282-285 semantics).
+    # Expected values measured on this chip 2026-08-18; the assert window
+    # is ±0.1 bits (TPU default-precision reorder drift is ~1e-3 here).
+    hdigits, _ = render_digits(256, 28, seed=1)
+    hx = jnp.asarray((hdigits.astype(np.float32) / 255.0 - 0.1307) / 0.3081)[..., None]
+    for qname, qckpt, qprior, qexpect in (
+        ("pixelcnn", "PixelCNN-MNIST-28.msgpack", "PixelCNN", 1.2084),
+        ("transformer", "Transformer-MNIST-28.msgpack", "Transformer", 0.0856),
+    ):
+        qcfg = load_config("pixelcnn_mnist_28")
+        qcfg.prior = qprior
+        qmodel = HopVAE(qcfg)
+        qp = qmodel.init(jax.random.PRNGKey(0))
+        qp = load_reference_checkpoint(
+            qmodel, qp, os.path.join(REPO, "checkpoints", qckpt)
+        )
+        aux_t = jax.jit(lambda p, s, m=qmodel: m.forward(p, s, fit_prior=True)[1])(qp, hx)
+        aux_f = jax.jit(lambda p, s, m=qmodel: m.forward(p, s)[1])(qp, hx)
+        qbits = float(aux_t) - float(aux_f)
+        details[f"prior_quality_bits_{qname}_mnist28"] = qbits
+        assert abs(qbits - qexpect) < 0.1, (
+            f"{qname} prior quality drifted: {qbits} vs committed {qexpect}"
+        )
 
     # ---- side: PixelCNN samples/sec (on-device scan) --------------------
     pcfg = load_config("pixelcnn_mnist_28")
@@ -391,6 +461,7 @@ def main():
     tcfg17 = load_config("pixelcnn_mnist_28")
     tcfg17.representation_dim = 17
     tcfg17.num_levels = 512
+    tcfg17.prior_cache_dtype = "bfloat16"  # pin: auto is int8 at S>=512
     tf17 = TransformerPrior(tcfg17)
     tf17_params = tf17.init(jax.random.PRNGKey(0))
     t17 = device_seconds_per_iter(
@@ -413,6 +484,71 @@ def main():
         iters=3,
     )
     details["transformer_prior_r17_int8_samples_per_sec_tpu"] = 2048 / t17q
+
+    # the largest shipped geometry (r=33, S=3267): decode throughput for
+    # both cache dtypes, standing (VERDICT r3 #5 asked for the r=33
+    # numbers to be bench-recorded, not one-off)
+    tcfg33 = load_config("ffhq_128")
+    tcfg33.prior = "Transformer"
+    tcfg33.prior_cache_dtype = "bfloat16"  # pin: auto is int8 at S>=512
+    tf33 = TransformerPrior(tcfg33)
+    tf33_params = tf33.init(jax.random.PRNGKey(0))
+    t33 = device_seconds_per_iter(
+        _sampler_step(lambda k: tf33.sample(tf33_params, k, 256)),
+        jax.random.PRNGKey(0),
+        iters=2,
+    )
+    details["transformer_prior_r33_samples_per_sec_tpu"] = 256 / t33
+    tcfg33q = load_config("ffhq_128")
+    tcfg33q.prior = "Transformer"
+    tcfg33q.prior_cache_dtype = "int8"
+    tf33q = TransformerPrior(tcfg33q)
+    t33q = device_seconds_per_iter(
+        _sampler_step(lambda k: tf33q.sample(tf33_params, k, 256)),
+        jax.random.PRNGKey(0),
+        iters=2,
+    )
+    details["transformer_prior_r33_int8_samples_per_sec_tpu"] = 256 / t33q
+
+    # ---- int8 KV-cache quality at the large grid (VERDICT r3 #3) --------
+    # The int8 option's 1.43× decode win is at r=33, but its quality was
+    # only measured on the MNIST geometry.  Gate it against the TRAINED
+    # Transformer-FFHQ-128 checkpoint: teacher-forced logits through the
+    # same decode path with f32 vs int8 caches, on grids encoded from the
+    # hermetic synthetic-FFHQ split by the trained backbone (the token
+    # statistics the prior actually models).
+    lqmodel = HopVAE(tcfg33)
+    lqparams = lqmodel.init(jax.random.PRNGKey(0))
+    lqparams = load_reference_checkpoint(
+        lqmodel, lqparams, os.path.join(REPO, "checkpoints", "Transformer-FFHQ-128.msgpack")
+    )
+    from hopvae_tpu.data import get_datasets
+
+    _, _, ffhq_test = get_datasets(tcfg33, None)
+    qx = jnp.asarray(ffhq_test.images[:8])
+    qz = jax.jit(lqmodel._encode_to_tokens)(lqparams, qx)
+    _, qzq, _ = jax.jit(
+        lambda p, t: hopfield_bottleneck_xla(p, t, tcfg33.num_levels)
+    )(bottleneck_params(lqparams), qz)
+    qgrid = qzq.reshape(8, 33, 33, tcfg33.index_dim)
+    lg32 = jax.jit(lambda p, g: lqmodel.prior.decode_logits(p, g))(lqparams["prior"], qgrid)
+    lg8 = jax.jit(lambda p, g: lqmodel.prior.decode_logits(p, g, cache_dtype=jnp.int8))(
+        lqparams["prior"], qgrid
+    )
+
+    def _bits_of(logits, grid):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = grid.astype(jnp.int32)
+        ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return float(jnp.mean(ce) * jnp.log2(jnp.exp(1.0)))
+
+    int8_logit_err = float(jnp.max(jnp.abs(lg8 - lg32)) / jnp.max(jnp.abs(lg32)))
+    bits32, bits8 = _bits_of(lg32, qgrid), _bits_of(lg8, qgrid)
+    details["int8_cache_r33_logit_err_frac_of_max"] = int8_logit_err
+    details["int8_cache_r33_bits_f32"] = bits32
+    details["int8_cache_r33_bits_int8"] = bits8
+    assert int8_logit_err < 0.05, f"int8 r33 logit error {int8_logit_err}"
+    assert abs(bits8 - bits32) < 0.05, f"int8 r33 bits drift {bits8} vs {bits32}"
 
     # scaled-config AR sampling (r=17, 4096-level prior grid): the
     # column-incremental sampler's headline (VERDICT r1 #6)

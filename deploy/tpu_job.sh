@@ -31,7 +31,7 @@ ${GCLOUD} compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all --
     --config ${CONFIG} \
     --data ${DATA} \
     --out outputs/${CONFIG} \
-    --impl pallas --compute-dtype bfloat16
+    --production
 "
 # HOPVAE_MULTIHOST=1 triggers jax.distributed.initialize() (auto-detected
 # coordinator on TPU VMs) so the (data, model) mesh spans the whole slice.

@@ -147,7 +147,15 @@ class TransformerPrior:
         self.attn = attn
         self.q_block = getattr(config, "prior_q_block", 256)
         self.kv_block = getattr(config, "prior_kv_block", 256)
-        cdt = str(getattr(config, "prior_cache_dtype", "bfloat16"))
+        cdt = str(getattr(config, "prior_cache_dtype", "auto"))
+        if cdt == "auto":
+            # int8 K/V caches are the r>=17 default (round-4 decision): the
+            # decode step is ~90% cache-read bound there and int8 is the
+            # measured 1.43-1.51x win at ZERO quality cost on the trained
+            # checkpoints (r=33 teacher-forced bits 0.62024 f32 vs 0.62043
+            # int8; logit drift 3.6% of max — BASELINE.md).  Small grids
+            # keep bf16 (int8's dequant overhead isn't paid back at r=8).
+            cdt = "int8" if self.seq >= _AUTO_STREAMING_SEQ else "bfloat16"
         if cdt in ("bfloat16", "bf16"):
             self.cache_dtype = jnp.bfloat16
         elif cdt == "int8":
@@ -277,9 +285,11 @@ class TransformerPrior:
     # with (B, S, kv) scale side-caches) halves the bytes again: 1,173
     # vs 778 samples/s at r=17 batch 2048 (1.51×) and 85.3 vs 59.5 at
     # r=33 batch 256 (1.43×), at 1.6%-of-max logit error on the trained
-    # MNIST checkpoint (≤5% bounded by test; per-TOKEN scales were 6%
-    # faster but risk crushing a small head on trained models) —
-    # opt-in, bf16 stays the default.  A block-structured
+    # MNIST checkpoint and 3.6% on the trained FFHQ-128 one with ZERO
+    # teacher-forced bits drift (0.62024 vs 0.62043 — BASELINE.md; both
+    # bench-gated; per-TOKEN scales were 6% faster but risk crushing a
+    # small head on trained models).  int8 is therefore the AUTO default
+    # at S≥512 since round 4; bf16 below.  A block-structured
     # cache with a ``lax.cond``-skipped inner scan (read only the valid
     # prefix) was measured 3.6× SLOWER at r=8 (1.3k vs 4.8k samples/s,
     # batch 1024) — per-iteration loop/branch overhead dwarfs the ~2×

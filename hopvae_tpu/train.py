@@ -705,8 +705,14 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="outputs")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="torch .ckpt or native .msgpack to load (lenient)")
-    parser.add_argument("--impl", type=str, default="xla", choices=("xla", "pallas"))
-    parser.add_argument("--compute-dtype", type=str, default="float32",
+    parser.add_argument("--production", action="store_true",
+                        help="production fast path in one flag: fused Pallas "
+                             "bottleneck + bfloat16 conv stacks (equivalent to "
+                             "--impl pallas --compute-dtype bfloat16; golden "
+                             "recon-MSE delta 0.2%%, BASELINE.md). Defaults "
+                             "stay on the f32 XLA parity path")
+    parser.add_argument("--impl", type=str, default=None, choices=("xla", "pallas"))
+    parser.add_argument("--compute-dtype", type=str, default=None,
                         choices=("float32", "bfloat16"),
                         help="conv-stack compute dtype (bfloat16 = production fast path)")
     parser.add_argument(
@@ -762,8 +768,12 @@ def main(argv=None):
         apply_overrides(config, args.set, config_name=args.config)
     except ValueError as e:
         parser.error(str(e))
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
-    model = HopVAE(config, impl=args.impl, compute_dtype=dtype)
+    # --production = pallas + bf16; explicit --impl/--compute-dtype override
+    # it either way (e.g. --production --compute-dtype float32)
+    impl = args.impl or ("pallas" if args.production else "xla")
+    compute_dtype = args.compute_dtype or ("bfloat16" if args.production else "float32")
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    model = HopVAE(config, impl=impl, compute_dtype=dtype)
     params = model.init(jax.random.PRNGKey(config.seed))
 
     ckpt = args.checkpoint or f"checkpoints/{config.data_set}-{config.image_size}.ckpt"

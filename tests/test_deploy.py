@@ -34,6 +34,6 @@ def test_tpu_job_dry_run_builds_the_launch_command():
 
     # every flag the wrapper passes must be a real trainer flag
     trainer_src = open(os.path.join(REPO, "hopvae_tpu", "train.py")).read()
-    for flag in ("--config", "--data", "--out", "--impl", "--compute-dtype"):
+    for flag in ("--config", "--data", "--out", "--production"):
         assert flag in out, f"launcher no longer passes {flag}"
         assert f'"{flag}"' in trainer_src, f"trainer no longer accepts {flag}"

@@ -375,3 +375,16 @@ def test_cache_dtype_validation():
     cfg.prior_cache_dtype = "i8"
     with pytest.raises(ValueError, match="prior_cache_dtype"):
         TransformerPrior(cfg)
+
+
+def test_cache_dtype_auto_default():
+    """round-4 decision: auto cache dtype = int8 once S >= 512 (measured
+    1.43-1.51x decode at zero teacher-forced bits drift on the trained
+    checkpoints, BASELINE.md), bfloat16 below; explicit settings win."""
+    cfg = load_config("pixelcnn_mnist_28")  # r=8, S=192
+    assert TransformerPrior(cfg).cache_dtype == jnp.bfloat16
+    cfg17 = load_config("pixelcnn_mnist_28")
+    cfg17.representation_dim = 17  # S=867
+    assert TransformerPrior(cfg17).cache_dtype == jnp.int8
+    cfg17.prior_cache_dtype = "bfloat16"
+    assert TransformerPrior(cfg17).cache_dtype == jnp.bfloat16
