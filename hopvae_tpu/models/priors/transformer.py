@@ -178,6 +178,15 @@ class TransformerPrior:
         self.decode_segment = getattr(
             config, "prior_decode_segment", 64 if self.seq <= 256 else 128
         )
+        # speculative self-drafting decode (models/priors/spec_decode.py):
+        # draft prior_spec_k tokens through a prior_spec_window-position
+        # ring, verify them in ONE chunked full-cache pass — the full
+        # cache is read once per ~E[accepted]+1 tokens instead of once
+        # per token.  Exact (rejection sampling); 0 disables.
+        self.spec_k = int(getattr(config, "prior_spec_k", 0))
+        self.spec_window = int(getattr(config, "prior_spec_window", 128))
+        if self.spec_k < 0 or self.spec_window <= 0:
+            raise ValueError("prior_spec_k must be >= 0 and prior_spec_window > 0")
 
     # ------------------------------------------------------------- params
 
@@ -425,7 +434,16 @@ class TransformerPrior:
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
-        """KV-cached AR draw — segmented scan over the S positions."""
+        """KV-cached AR draw — segmented scan over the S positions, or the
+        speculative self-drafting decode when ``prior_spec_k`` > 0 (same
+        output distribution, fewer full-cache reads)."""
+        if self.spec_k > 0:
+            from hopvae_tpu.models.priors.spec_decode import sample_speculative
+
+            return sample_speculative(
+                self, params, key, num_samples,
+                k=self.spec_k, window=self.spec_window,
+            )
         params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
         b = num_samples
 
