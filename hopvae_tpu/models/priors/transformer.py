@@ -42,6 +42,21 @@ TPU-first choices:
   one head exactly lane-wide) MQA decode is **4.66× faster** (9,620 vs
   2,066 samples/s, r=8 batch 512) — the full byte cut materializes.
   Rule: ``prior_kv_heads < heads`` only pays when dh = d/heads ≥ 128.
+- **speculative self-drafting decode: measured DEAD END at every shipped
+  geometry** (implementation at commit e6e1017, removed after
+  measurement; full write-up in BASELINE.md "r=33 transformer-decode
+  roofline").  Exact windowed-draft + chunked-full-cache-verify
+  rejection sampling: the acceptance model held (0.84/0.93/0.96 at
+  W=99/297/512 on the trained FFHQ-128 checkpoint → 5.35-9.0 tokens per
+  verify round at k=8-16), but per-row desynchronized positions force
+  every cache access through batched gather/scatter instead of
+  ``dynamic_update_slice``, and a while-loop iteration costs ~4-6 ms
+  vs the direct sampler's 0.9 ms — measured 8.0 samples/s vs 86.0
+  direct at r=33 batch 256 (10.7× SLOWER), worse at every other
+  (k, W).  Synchronizing rows to restore dynamic_update_slice collapses
+  E[tokens/round] → ~1 at batch 256 (min over 256 geometric acceptance
+  draws), so the overhead is structural to batched speculative decode
+  at these per-step costs, not a tuning artifact.
 """
 
 from __future__ import annotations
@@ -178,15 +193,6 @@ class TransformerPrior:
         self.decode_segment = getattr(
             config, "prior_decode_segment", 64 if self.seq <= 256 else 128
         )
-        # speculative self-drafting decode (models/priors/spec_decode.py):
-        # draft prior_spec_k tokens through a prior_spec_window-position
-        # ring, verify them in ONE chunked full-cache pass — the full
-        # cache is read once per ~E[accepted]+1 tokens instead of once
-        # per token.  Exact (rejection sampling); 0 disables.
-        self.spec_k = int(getattr(config, "prior_spec_k", 0))
-        self.spec_window = int(getattr(config, "prior_spec_window", 128))
-        if self.spec_k < 0 or self.spec_window <= 0:
-            raise ValueError("prior_spec_k must be >= 0 and prior_spec_window > 0")
 
     # ------------------------------------------------------------- params
 
@@ -434,16 +440,7 @@ class TransformerPrior:
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
-        """KV-cached AR draw — segmented scan over the S positions, or the
-        speculative self-drafting decode when ``prior_spec_k`` > 0 (same
-        output distribution, fewer full-cache reads)."""
-        if self.spec_k > 0:
-            from hopvae_tpu.models.priors.spec_decode import sample_speculative
-
-            return sample_speculative(
-                self, params, key, num_samples,
-                k=self.spec_k, window=self.spec_window,
-            )
+        """KV-cached AR draw — segmented scan over the S positions."""
         params = jax.tree_util.tree_map(jnp.asarray, params)  # see forward
         b = num_samples
 

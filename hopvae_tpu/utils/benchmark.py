@@ -10,6 +10,16 @@ applications of the step function inside one jitted ``fori_loop`` (data
 dependence prevents elision/overlap), reduced to one scalar whose host
 fetch forces completion. The fixed tunnel roundtrip is cancelled by
 differencing two iteration counts.
+
+LIMIT: the step function must not itself contain a large
+``lax.while_loop`` — a big while_loop body (the r=33 speculative
+sampler: B=256, S=3267 caches in the carry) nested inside this harness's
+``fori_loop`` reproducibly crashed the TPU worker ("kernel fault") on
+first execution, while the same while_loop ran fine as a bare jitted
+dispatch (measured 2026-08-18, twice). Kernels that run multiple seconds
+per call don't need the chained harness anyway: time them as bare
+dispatches with a scalar fetch — the ~35 ms tunnel roundtrip is < 1 %
+there. Use this harness for sub-100 ms steps.
 """
 
 from __future__ import annotations
