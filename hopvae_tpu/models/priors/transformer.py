@@ -86,15 +86,17 @@ def _ln(x, p):
     return layer_norm(x, p["scale"], p["bias"])
 
 
-def _quantize_token(x, kv):
-    """Per-(token, kv-head) absmax int8: (B, kv·dh) → (codes int8
-    (B, kv·dh), scales f32 (B, kv)).  One scale PER HEAD — a single
-    per-token scale would crush a head whose activations are dwarfed by
-    another's on trained checkpoints (review finding)."""
+def _quantize_token(x, kv, qmax=127.0, dtype=jnp.int8):
+    """Per-(token, kv-head) absmax quantization: (B, kv·dh) → (codes
+    (B, kv·dh) in ``dtype``, scales f32 (B, kv)).  One scale PER HEAD — a
+    single per-token scale would crush a head whose activations are
+    dwarfed by another's on trained checkpoints (review finding).
+    ``qmax=127`` int8 is the production option; ``qmax=7`` int4 is the
+    experimental half-again byte cut."""
     b, w = x.shape
     xh = x.reshape(b, kv, w // kv)
-    s = jnp.maximum(jnp.max(jnp.abs(xh), axis=-1) / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(xh / s[..., None]), -127, 127).astype(jnp.int8)
+    s = jnp.maximum(jnp.max(jnp.abs(xh), axis=-1) / qmax, 1e-12)
+    q = jnp.clip(jnp.round(xh / s[..., None]), -qmax, qmax).astype(dtype)
     return q.reshape(b, w), s.astype(jnp.float32)
 
 
@@ -179,11 +181,20 @@ class TransformerPrior:
             # cache-read bound at r>=17); scores/outputs dequantize via
             # the scale side-caches
             self.cache_dtype = jnp.int8
+        elif cdt == "int4":
+            # EXPERIMENTAL: native XLA S4 storage, per-(token, kv-head)
+            # absmax to ±7.  Measured on the v5e (2026-08-18,
+            # tools/int4_decode_bench.py): S4 DOES pack two codes/byte in
+            # HBM and decode is 1.32× int8 at r=33 (112.5 vs 85.3
+            # samples/s) — but 15-level codes are quality-infeasible on
+            # trained checkpoints (held-out bits 0.620 → 0.667, logit err
+            # 58.5% of max; BASELINE.md).  int8 stays the recommendation.
+            self.cache_dtype = jnp.int4
         elif cdt in ("float32", "f32"):
             self.cache_dtype = jnp.float32
         else:
             raise ValueError(
-                f"prior_cache_dtype must be float32|bfloat16|int8, got {cdt!r}"
+                f"prior_cache_dtype must be float32|bfloat16|int8|int4, got {cdt!r}"
             )
         # AR-decode segment length (growing-cache scan, see _decode_all).
         # Measured 2026-08-17 (v5e): r=8/batch-1024 12,982 samples/s at
@@ -321,12 +332,14 @@ class TransformerPrior:
         for p, cache in zip(params["blocks"], caches):
             q, kk, vv = self._split_qkv(p, x)
             cdt = cache["k"].dtype
+            quantized = cdt in (jnp.int8, jnp.int4)
             new_cache = {}
-            if cdt == jnp.int8:
+            if quantized:
                 # per-(token, kv-head) absmax quantization; the scales
                 # live in tiny (B, S, kv) side caches, folded back below
-                kk, sk = _quantize_token(kk, kv)
-                vv, sv = _quantize_token(vv, kv)
+                qmax = 127.0 if cdt == jnp.int8 else 7.0
+                kk, sk = _quantize_token(kk, kv, qmax=qmax, dtype=cdt)
+                vv, sv = _quantize_token(vv, kv, qmax=qmax, dtype=cdt)
                 new_cache["ks"] = jax.lax.dynamic_update_slice(
                     cache["ks"], sk[:, None, :], (0, t, 0)
                 )
@@ -364,13 +377,13 @@ class TransformerPrior:
                     return sc[..., 0][:, None, :]
                 return jnp.swapaxes(sc, 1, 2)[:, :, None, :]  # (B, kv, 1, S)
 
-            if cdt == jnp.int8:
+            if quantized:
                 scores = scores * _scale(new_cache["ks"])
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1) <= t
             )
             att = jax.nn.softmax(jnp.where(valid, scores, -1e30), axis=-1)
-            if cdt == jnp.int8:
+            if quantized:
                 att = att * _scale(new_cache["vs"])
             y = jnp.einsum(
                 av, att.astype(q.dtype), v_cache.astype(q.dtype),
@@ -388,7 +401,7 @@ class TransformerPrior:
         length = self.seq if length is None else length
         shape = (b, length, dh) if kv == 1 else (b, length, kv, dh)
         one = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-        if dtype == jnp.int8:  # per-(token, kv-head) dequantization scales
+        if dtype in (jnp.int8, jnp.int4):  # per-(token, kv-head) dequantization scales
             one["ks"] = jnp.zeros((b, length, kv), jnp.float32)
             one["vs"] = jnp.zeros((b, length, kv), jnp.float32)
         return [dict(one) for _ in range(self.n_layers)]

@@ -367,6 +367,38 @@ def test_int8_kv_cache_decode(kv_heads):
     assert s.shape == (3, r, r, c) and s.min() >= 0 and s.max() <= cfg.num_levels - 1
 
 
+def test_int4_kv_cache_decode():
+    """prior_cache_dtype=int4 (native XLA S4 storage, per-(token, kv-head)
+    absmax to ±7): decode must stay within the coarser 4-bit error band of
+    the f32 decode, and sampling must run end-to-end."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 5
+    cfg.index_dim = 3
+    cfg.num_levels = 16
+    cfg.prior = "Transformer"
+    cfg.prior_d_model = 32
+    cfg.prior_heads = 2
+    cfg.prior_layers = 2
+    cfg.prior_cache_dtype = "int4"
+    cfg.prior_decode_segment = 16  # force several growing segments (S=75)
+    prior = TransformerPrior(cfg)
+    assert prior.cache_dtype == jnp.int4
+    params = prior.init(jax.random.PRNGKey(0))
+    r, c = cfg.representation_dim, cfg.index_dim
+    g = jnp.asarray(
+        np.random.default_rng(11).integers(0, cfg.num_levels, (2, r, r, c)), jnp.float32
+    )
+    exact = jax.jit(prior.forward)(params, g)
+    quant = jax.jit(lambda p, g: prior.decode_logits(p, g, cache_dtype=jnp.int4))(params, g)
+    # 15-level quantization: ~16x int8's error band
+    err = float(jnp.max(jnp.abs(quant - exact)))
+    scale = float(jnp.max(jnp.abs(exact)))
+    assert err < 0.5 * max(scale, 1.0), (err, scale)
+
+    s = np.asarray(jax.jit(lambda k: prior.sample(params, k, 3))(jax.random.PRNGKey(5)))
+    assert s.shape == (3, r, r, c) and s.min() >= 0 and s.max() <= cfg.num_levels - 1
+
+
 def test_cache_dtype_validation():
     """Unknown prior_cache_dtype strings must raise, not silently fall
     back to f32 (review finding — a typo'd "i8" would double the cache
