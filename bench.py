@@ -487,28 +487,42 @@ def main():
 
     # the largest shipped geometry (r=33, S=3267): decode throughput for
     # both cache dtypes, standing (VERDICT r3 #5 asked for the r=33
-    # numbers to be bench-recorded, not one-off)
+    # numbers to be bench-recorded, not one-off).  Per-dtype swept-optimum
+    # batches (tools/r33_batch_sweep.py + 2026-08-19 probe): int8 peaks at
+    # B=1024 (87.0/103.2 at 256/1024 — the step's 0.38-0.59 ms of
+    # batch-independent small-matmul overhead amortizes; 2048 regresses
+    # under HBM pressure), while bf16 REGRESSES at 1024 (59.2→55.1 — its
+    # 6.9 GB of caches hit the pressure wall earlier), so bf16 stays at
+    # 256.  Timing: bare jitted dispatch + scalar fetch, median of 3 —
+    # these draws run 3-10 s each, so the ~35 ms tunnel roundtrip is <1%
+    # and the chained harness (built for sub-100 ms steps) would just
+    # multiply minutes.
+    def _bare_draw_seconds(sample_fn, n: int) -> float:
+        fn = jax.jit(lambda k: jnp.sum(sample_fn(k, n)).astype(jnp.int32))
+        fn(jax.random.PRNGKey(0)).block_until_ready()  # compile + warm
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            fn(jax.random.PRNGKey(i + 1)).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    r33_bf16_batch, r33_int8_batch = 256, 1024
+    details["transformer_prior_r33_sample_batch"] = r33_bf16_batch
+    details["transformer_prior_r33_int8_sample_batch"] = r33_int8_batch
     tcfg33 = load_config("ffhq_128")
     tcfg33.prior = "Transformer"
     tcfg33.prior_cache_dtype = "bfloat16"  # pin: auto is int8 at S>=512
     tf33 = TransformerPrior(tcfg33)
     tf33_params = tf33.init(jax.random.PRNGKey(0))
-    t33 = device_seconds_per_iter(
-        _sampler_step(lambda k: tf33.sample(tf33_params, k, 256)),
-        jax.random.PRNGKey(0),
-        iters=2,
-    )
-    details["transformer_prior_r33_samples_per_sec_tpu"] = 256 / t33
+    t33 = _bare_draw_seconds(lambda k, n: tf33.sample(tf33_params, k, n), r33_bf16_batch)
+    details["transformer_prior_r33_samples_per_sec_tpu"] = r33_bf16_batch / t33
     tcfg33q = load_config("ffhq_128")
     tcfg33q.prior = "Transformer"
     tcfg33q.prior_cache_dtype = "int8"
     tf33q = TransformerPrior(tcfg33q)
-    t33q = device_seconds_per_iter(
-        _sampler_step(lambda k: tf33q.sample(tf33_params, k, 256)),
-        jax.random.PRNGKey(0),
-        iters=2,
-    )
-    details["transformer_prior_r33_int8_samples_per_sec_tpu"] = 256 / t33q
+    t33q = _bare_draw_seconds(lambda k, n: tf33q.sample(tf33_params, k, n), r33_int8_batch)
+    details["transformer_prior_r33_int8_samples_per_sec_tpu"] = r33_int8_batch / t33q
 
     # ---- int8 KV-cache quality at the large grid (VERDICT r3 #3) --------
     # The int8 option's 1.43× decode win is at r=33, but its quality was

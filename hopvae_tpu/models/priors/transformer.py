@@ -320,7 +320,13 @@ class TransformerPrior:
     # prefix) was measured 3.6× SLOWER at r=8 (1.3k vs 4.8k samples/s,
     # batch 1024) — per-iteration loop/branch overhead dwarfs the ~2×
     # average bandwidth saving at these sequence lengths; do not
-    # re-attempt without new evidence.
+    # re-attempt without new evidence.  Casting the two cache-sized
+    # einsums to bf16 operands (f32 accumulate) to raise the MXU rate was
+    # measured a NO-OP at r=33 (2026-08-19: 59.1/103.1 samples/s vs
+    # 59.2/103.2 for the f32 dots, both batches, both cache dtypes) — at
+    # decode shapes the dots are a rounding error next to the cache read
+    # and the dequant-convert VPU work, so the f32 dots stay (tighter
+    # numerics for free); don't re-attempt that either.
 
     def _decode_step(self, params, caches, x_t, t):
         """x_t (B, d) input embedding for position t → (caches', logits (B, L))."""
