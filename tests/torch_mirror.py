@@ -14,10 +14,13 @@ SAME derived hflayers semantics as the JAX implementation, so
 bottleneck-level parity tests here are partly self-referential. The
 independent anchors that would catch a shared misreading are the
 *trained-checkpoint round-trip* statistics (golden recon-MSE ≈ 0.0073 and
-embedding round-trip aux ≈ 3.7e-5 — a wrong β / norm placement destroys
-the trained attractor structure and inflates both by orders of magnitude)
-rather than mirror agreement. If a real hflayers environment ever becomes
-available, pin fixed-input attention outputs from it as extra goldens.
+embedding round-trip aux ≈ 3.7e-5) rather than mirror agreement — and
+that anchor is now a TEST, not an argument:
+``test_semantics_falsification.py`` flips each disputed derivation choice
+(β=1, swapped stored/value norms, in-proj on Q, unnormed queries) and
+asserts the goldens degrade by the measured 5.7×-978× margins. If a real
+hflayers environment ever becomes available, pin fixed-input attention
+outputs from it as extra goldens.
 
 Layouts are torch-native NCHW here; tests convert at the boundary.
 """
