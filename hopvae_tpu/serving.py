@@ -7,7 +7,7 @@ is the production-deployment surface the TPU build adds. Design:
   for a fixed ``max_batch`` at construction (no first-request compile
   stall), pads ragged batches up to it, and slices results back.
 - The compute path uses the production configuration by default: fused
-  Pallas bottleneck + bf16 conv stacks (golden recon-MSE delta 1.3%,
+  Pallas bottleneck + bf16 conv stacks (golden recon-MSE delta 0.2%,
   BASELINE.md). Pass ``impl="xla"``/``compute_dtype=None`` for the f32
   parity path.
 - ``python -m hopvae_tpu.serving`` is a batch processor: reads image
