@@ -350,18 +350,28 @@ class PixelCNNPrior:
         # raw-level grid with 3 pad rows on top and 3 pad cols each side
         # (the 7×7 first conv's full past window is a static-size slice)
         grid_pad0 = jnp.zeros((n, r + 3, r + 6, c), jnp.float32)
-        # h_b finals: previous row (cols padded ±1) and current row (left
-        # pad; col jj lives at index jj+1)
-        prev0 = tuple(jnp.zeros((n, r + 2, f), jnp.float32) for _ in range(self.n_res))
-        cur0 = tuple(jnp.zeros((n, r + 1, f), jnp.float32) for _ in range(self.n_res))
+        # h_b finals, double-buffered by ROW PARITY: one (n, 2, r+2, f)
+        # buffer per layer — col jj at index jj+1, permanent zero pads at
+        # 0 and r+1; row i writes plane i&1 and reads its above-taps from
+        # plane 1-(i&1). This removes round-4's per-step row transition
+        # (two full-tensor jnp.where selects per layer per pixel — at r=33
+        # that reread+rewrote all 4 caches 1089×/draw, the HBM wall behind
+        # the batch-2048 regression, BASELINE.md): no resets are needed
+        # because the left tap at column 0 reads the zero pad and columns
+        # 1..r of a plane are fully overwritten before it is read again,
+        # so every cache touch is a small slice XLA updates in place.
+        hb0 = tuple(
+            jnp.zeros((n, 2, r + 2, f), jnp.float32) for _ in range(self.n_res)
+        )
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 7, 1), 1)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 7, 1), 2)
 
         def body(carry, step):
-            grid_pad, prev_rows, row_cur, key = carry
+            grid_pad, hbufs, key = carry
             i = step // r
             j = step % r
+            p = i & 1  # current row's plane; 1 - p holds row i-1
 
             # layer-0 partial: masked 7×7 window, center tap zeroed in taps
             win = jax.lax.dynamic_slice(grid_pad, (0, i, j, 0), (n, 4, 7, c))
@@ -371,8 +381,12 @@ class PixelCNNPrior:
 
             # block partials: 3 above-taps + 1 left-tap
             for b in range(self.n_res):
-                above = relu(jax.lax.dynamic_slice(prev_rows[b], (0, j, 0), (n, 3, f)))
-                left = relu(jax.lax.dynamic_slice(row_cur[b], (0, j, 0), (n, 1, f))[:, 0])
+                above = relu(
+                    jax.lax.dynamic_slice(hbufs[b], (0, 1 - p, j, 0), (n, 1, 3, f))[:, 0]
+                )
+                left = relu(
+                    jax.lax.dynamic_slice(hbufs[b], (0, p, j, 0), (n, 1, 1, f))[:, 0, 0]
+                )
                 partials.append(
                     above.reshape(n, -1) @ taps["res"][b]["above"]
                     + left @ taps["res"][b]["left"]
@@ -393,24 +407,16 @@ class PixelCNNPrior:
                 grid_pad, jnp.stack(lvls, -1).reshape(n, 1, 1, c), (0, i + 3, j + 3, 0)
             )
 
-            # pixel final → h_b(i,j) into the current-row caches
+            # pixel final → h_b(i,j) into this row's parity plane
             _, hs = self._center_chain_h(params, cm, partials, x_ij)
-            row_cur = tuple(
-                jax.lax.dynamic_update_slice(rc, h[:, None], (0, j + 1, 0))
-                for rc, h in zip(row_cur, hs[: self.n_res])
+            hbufs = tuple(
+                jax.lax.dynamic_update_slice(hb, h[:, None, None], (0, p, j + 1, 0))
+                for hb, h in zip(hbufs, hs[: self.n_res])
             )
+            return (grid_pad, hbufs, key), None
 
-            # row transition: cheap elementwise selects, no cond branches
-            done = j == r - 1
-            prev_rows = tuple(
-                jnp.where(done, jnp.concatenate([rc, jnp.zeros((n, 1, f))], 1), pr)
-                for pr, rc in zip(prev_rows, row_cur)
-            )
-            row_cur = tuple(jnp.where(done, jnp.zeros_like(rc), rc) for rc in row_cur)
-            return (grid_pad, prev_rows, row_cur, key), None
-
-        (grid_pad, _, _, _), _ = jax.lax.scan(
-            body, (grid_pad0, prev0, cur0, key), jnp.arange(r * r)
+        (grid_pad, _, _), _ = jax.lax.scan(
+            body, (grid_pad0, hb0, key), jnp.arange(r * r)
         )
         return grid_pad[:, 3:, 3 : r + 3]
 
@@ -444,11 +450,15 @@ class PixelCNNPrior:
 
     def sample(self, params, key: jax.Array, num_samples: int = 1) -> jax.Array:
         """On-device AR sampling: one ``lax.scan`` over the r² pixels with
-        column-incremental layer caches + center-tap channel substeps (see
-        block comments above). Exact — same RNG stream and float-summation-
-        order logits as the row-cache and full-grid scans; ~1.9× the
-        row-cache sampler at matched batch and far better batch scaling
-        (r=17: 5.4k samples/s @256, 15.0k @1024 on one v5e)."""
+        column-incremental parity-double-buffered layer caches +
+        center-tap channel substeps (see block comments above). Exact —
+        same RNG stream and float-summation-order logits as the row-cache
+        and full-grid scans. Round 5's double buffer removed the per-step
+        full-cache selects, which fixed the large-batch regression and
+        roughly doubled the big-grid frontier (one v5e, chained device
+        timing: r=33: 10.6k samples/s @1024 → 14.5k @4096, vs round-4's
+        7.1k peak that REGRESSED to 3.7k @2048; r=17: 55.9k @2048, 1.62×
+        round 4)."""
         return self._sample_scan_colchain(params, key, num_samples)
 
     # -------------------------------------------------------- reconstruct
