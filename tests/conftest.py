@@ -13,6 +13,66 @@ the only reliable override; ``jax_num_cpu_devices`` supersedes the old
 """
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Two-tier suite (VERDICT r4 #4): `pytest -m "not slow"` is the quick gate
+# (<3 min on a 1-vCPU host; parity, causality, STE, config, checkpoint,
+# and the pattern-sharding smoke stay in). Everything whose call time
+# measured >=10s on the 2026-08-19 full run (37 min total) is tiered out
+# here — one central list instead of 40 scattered decorators; param ids
+# are stripped, so an entry covers every parametrization.
+SLOW_TESTS = {
+    "test_graft_entry.py::test_dryrun_multichip_8",
+    "test_examples.py::test_quickstart_runs",
+    "test_resume_and_dtype.py::test_resume_continues_epoch_and_params",
+    "test_resume_and_dtype.py::test_bf16_compute_path_close_to_f32",
+    "test_semantics_falsification.py::test_unperturbed_pipeline_matches_model",
+    "test_checkpoint_parity.py::test_lenient_msgpack_load_across_prior_families",
+    "test_checkpoint_parity.py::test_lenient_load_reports_dropped_subtrees",
+    "test_pallas.py::test_pallas_gradients_match_reference",
+    "test_pallas.py::test_pallas_matches_reference",
+    "test_pallas.py::test_streaming_bottleneck_matches_reference",
+    "test_pallas.py::test_singleshot_kernel_matches_reference",
+    "test_pallas.py::test_pallas_handles_unaligned_token_count",
+    "test_pixelcnn.py::test_bits_loss_decreases_when_training",
+    "test_pixelcnn.py::test_sampling_determinism_and_range",
+    "test_pixelcnn_fast_sampler.py::test_colchain_matches_rowcache_sampler",
+    "test_pixelcnn_fast_sampler.py::test_rowcache_matches_fullgrid_sampler",
+    "test_pixelcnn_fast_sampler.py::test_center_chain_equals_forward_logits",
+    "test_serving.py::test_sample_and_encode_shapes",
+    "test_serving.py::test_reconstruct_rejects_oversize_batch",
+    "test_serving.py::test_cli_serves_transformer_prior_checkpoint",
+    "test_serving.py::test_reconstruct_pads_and_unpads",
+    "test_train.py::test_pallas_sharded_matches_single_device",
+    "test_train.py::test_fit_retraces_on_watch_toggle_and_lr_change",
+    "test_train.py::test_device_resident_data_multi_device",
+    "test_train.py::test_sharded_matches_single_device",
+    "test_train.py::test_multihost_evaluate_inside_fit",
+    "test_train.py::test_sharded_transformer_prior_phase_matches_single_device",
+    "test_train.py::test_pallas_pattern_sharded_matches_single_device",
+    "test_train.py::test_prior_phase_switch",
+    "test_train.py::test_device_resident_data_matches_streaming",
+    "test_train.py::test_no_phase_switch_for_parameterless_prior",
+    "test_train.py::test_fit_trains_and_logs",
+    "test_train.py::test_watch_gradients_logs_norms_and_histograms",
+    "test_train.py::test_evaluate_device_accumulation_matches_per_batch_sum",
+    "test_train.py::test_sharded_sampling_matches_unsharded",
+    "test_train.py::test_multihost_evaluate_nonzero_process_writes_nothing",
+    "test_train.py::test_pallas_sharded_handles_partial_batches",
+    "test_transformer_prior.py::test_blocked_attention_matches_dense",
+    "test_transformer_prior.py::test_blocked_prior_forward_matches_dense",
+    "test_transformer_prior.py::test_int8_kv_cache_decode",
+    "test_transformer_prior.py::test_int4_kv_cache_decode",
+    "test_transformer_prior.py::test_flash_backend_matches_dense_and_auto_selects_it",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        name = base.rsplit("/", 1)[-1]
+        if name in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
