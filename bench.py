@@ -881,23 +881,27 @@ def sec_mfu(ctx):
 
 
 SECTIONS = (
-    # (name, fn, always_run) — ordered cheap/important → expensive.
+    # (name, fn, always_run) — ordered cheap/important → expensive, from
+    # warm-cache timings (2026-08-19 driver-sim run): the sub-20s sampler
+    # sections run before the ~50s train sections so a default-budget run
+    # still records every headline family; the multi-minute tail
+    # (transformer samplers, flash gates, r=33 decode) goes last.
     ("headline", sec_headline, True),
     ("recon_f32", sec_recon_f32, False),
     ("golden_mnist", sec_golden_mnist, False),
     ("kernel_numerics", sec_kernel_numerics, False),
     ("prior_quality", sec_prior_quality, False),
+    ("pixelcnn_sampler", sec_pixelcnn_sampler, False),
+    ("scaled_recon", sec_scaled_recon, False),
+    ("scaled_ar_sampler", sec_scaled_ar_sampler, False),
+    ("ffhq128_recon", sec_ffhq128_recon, False),
     ("int8_quality_r17", sec_int8_quality_r17, False),
     ("int8_quality_r33", sec_int8_quality_r33, False),
-    ("scaled_recon", sec_scaled_recon, False),
-    ("ffhq128_recon", sec_ffhq128_recon, False),
     ("train_ffhq64", sec_train_ffhq64, False),
     ("train_scaled", sec_train_scaled, False),
     ("train_ffhq128", sec_train_ffhq128, False),
     ("latency", sec_latency, False),
-    ("pixelcnn_sampler", sec_pixelcnn_sampler, False),
     ("transformer_samplers", sec_transformer_samplers, False),
-    ("scaled_ar_sampler", sec_scaled_ar_sampler, False),
     ("flash_gate", sec_flash_gate, False),
     ("r33_decode", sec_r33_decode, False),
     ("mfu", sec_mfu, True),
