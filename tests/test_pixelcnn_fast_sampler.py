@@ -119,3 +119,20 @@ def test_colchain_matches_rowcache_sampler():
     s_grid = p._sample_scan(params, jax.random.PRNGKey(11), 2)
     s_col2 = p._sample_scan_colchain(params, jax.random.PRNGKey(11), 2)
     np.testing.assert_array_equal(np.asarray(s_grid), np.asarray(s_col2))
+
+
+def test_colchain_odd_grid_matches_fullgrid():
+    """Odd representation_dim (the shipped r=17/r=33 geometries are odd):
+    the colchain's row-parity double buffer (round 5) must land writes and
+    above-tap reads on the right planes when the final row has parity 0
+    again — an even-r test cannot catch a plane swap that happens to
+    realign every two rows. Small shapes keep this in the quick tier."""
+    cfg = load_config("pixelcnn_mnist_28")
+    cfg.representation_dim = 5
+    cfg.prior_num_filters = 12
+    cfg.prior_num_res_blocks = 2
+    p = PixelCNNPrior(cfg)
+    params = p.init(jax.random.PRNGKey(2))
+    s_grid = p._sample_scan(params, jax.random.PRNGKey(13), 2)
+    s_col = p._sample_scan_colchain(params, jax.random.PRNGKey(13), 2)
+    np.testing.assert_array_equal(np.asarray(s_grid), np.asarray(s_col))
