@@ -755,6 +755,32 @@ def sec_scaled_ar_sampler(ctx):
     details["ffhq64_scaled_ar_sample_batch"] = s_n
 
 
+def sec_r33_pixelcnn_sampler(ctx):
+    """The largest-grid PixelCNN sampler (33×33×3, 512 levels) — the
+    throughput AR sampler at the r=33 geometry (the transformer decode is
+    the capacity option). Round 5's parity double buffer made this
+    monotone in batch; bench at the swept near-peak B=2048 (B=4096 adds
+    ~6% but doubles the draw time; see BASELINE 'PixelCNN-sampler
+    bound')."""
+    import jax
+
+    from hopvae_tpu.config import load_config
+    from hopvae_tpu.models.hopvae import HopVAE
+    from hopvae_tpu.utils.benchmark import device_seconds_per_iter
+
+    lcfg = ctx["lcfg"] if "lcfg" in ctx else load_config("ffhq_128")
+    lpmodel = HopVAE(lcfg)  # prior defaults to PixelCNN at this config
+    lp_prior = lpmodel.init(jax.random.PRNGKey(0))["prior"]
+    n = 2048
+    dt = device_seconds_per_iter(
+        _sampler_step(lambda k: lpmodel.prior.sample(lp_prior, k, n)),
+        jax.random.PRNGKey(0),
+        iters=3,
+    )
+    details["pixelcnn_r33_samples_per_sec_tpu"] = n / dt
+    details["pixelcnn_r33_sample_batch"] = n
+
+
 def sec_flash_gate(ctx):
     """On-hardware flash-attention numerics gate (VERDICT r3 #1): the
     Mosaic flash kernel is the production TRAINING path for the
@@ -895,6 +921,7 @@ SECTIONS = (
     ("scaled_recon", sec_scaled_recon, False),
     ("scaled_ar_sampler", sec_scaled_ar_sampler, False),
     ("ffhq128_recon", sec_ffhq128_recon, False),
+    ("r33_pixelcnn_sampler", sec_r33_pixelcnn_sampler, False),
     ("int8_quality_r17", sec_int8_quality_r17, False),
     ("int8_quality_r33", sec_int8_quality_r33, False),
     ("train_ffhq64", sec_train_ffhq64, False),
