@@ -26,6 +26,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 # are stripped, so an entry covers every parametrization.
 SLOW_TESTS = {
     "test_graft_entry.py::test_dryrun_multichip_8",
+    "test_multiprocess_real.py::test_two_process_train_and_eval",
     "test_examples.py::test_quickstart_runs",
     "test_resume_and_dtype.py::test_resume_continues_epoch_and_params",
     "test_resume_and_dtype.py::test_bf16_compute_path_close_to_f32",
