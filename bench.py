@@ -935,9 +935,34 @@ SECTIONS = (
 )
 
 
+def _watchdog() -> None:
+    """Breadcrumbs while the main thread may be stuck in backend init or a
+    remote compile (the tunneled backend wedged for >10 min on 2026-08-19
+    — even ``jax.devices()`` hung): every 120 s without a completed
+    section, persist a stall marker so a killed run leaves evidence of
+    WHERE it died instead of an empty record. Pure observability — never
+    exits; runs this slow do recover."""
+    import threading
+
+    def tick():
+        while True:
+            time.sleep(120)
+            if details.get("section_secs"):
+                return  # first section landed; normal flushing takes over
+            details["watchdog_stalled_at_secs"] = round(_elapsed(), 1)
+            details["watchdog_note"] = (
+                "no section completed yet - backend init or first compile "
+                "stalled (tunneled TPU + remote compile service)"
+            )
+            _flush()
+
+    threading.Thread(target=tick, daemon=True).start()
+
+
 def main() -> int:
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+    _watchdog()
 
     import jax
 
