@@ -58,14 +58,19 @@ def _elapsed() -> float:
 
 
 def _flush() -> None:
-    """Atomically persist whatever has been measured so far."""
+    """Atomically persist whatever has been measured so far.
+
+    Thread-safe against the watchdog thread: ``dict(details)`` is one
+    C-level copy under the GIL, so ``json.dump`` never iterates a dict
+    the other thread is resizing."""
     details["bench_elapsed_secs"] = round(_elapsed(), 1)
     details["bench_budget_secs"] = BUDGET_SECS
     if gate_failures:
-        details["gate_failures"] = gate_failures
+        details["gate_failures"] = list(gate_failures)
+    snap = dict(details)
     tmp = DETAILS_FILE + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(details, f, indent=1)
+        json.dump(snap, f, indent=1)
     os.replace(tmp, DETAILS_FILE)
 
 
@@ -83,9 +88,13 @@ def _on_signal(signum, frame):  # pragma: no cover - exercised by timeout
     details["truncated"] = True
     details["truncated_signal"] = int(signum)
     _flush()
-    # exit 0 when the driver already has its headline line: a budget/timeout
-    # kill should degrade to a partial record, not a failed capture
-    sys.exit(0 if _headline_printed else 1)
+    # exit 0 only for a CLEAN truncation: the driver has its headline and
+    # no quality gate failed before the kill. A recorded gate failure must
+    # surface as exit 3 even when the run is cut short (the docstring's
+    # contract); no-headline truncation stays exit 1.
+    if not _headline_printed:
+        sys.exit(1)
+    sys.exit(3 if gate_failures else 0)
 
 
 def _walltime(fn) -> float:
@@ -956,6 +965,10 @@ def _watchdog() -> None:
             )
             _flush()
 
+    # if the run recovers, the in-progress stall marker must not read as a
+    # standing failure in the final record — the section loop converts it
+    # (see main): watchdog_stalled_at_secs -> watchdog_recovered_after_secs
+
     threading.Thread(target=tick, daemon=True).start()
 
 
@@ -990,6 +1003,14 @@ def main() -> int:
         details.setdefault("section_secs", {})[name] = round(
             time.perf_counter() - t_sec, 1
         )
+        # the run is making progress: demote any watchdog stall marker to a
+        # recovery note so a healthy-but-slow-to-start record doesn't claim
+        # a standing stall
+        if "watchdog_stalled_at_secs" in details:
+            details["watchdog_recovered_after_secs"] = details.pop(
+                "watchdog_stalled_at_secs"
+            )
+            details.pop("watchdog_note", None)
         _flush()
 
     print(json.dumps(details, indent=1), file=sys.stderr)

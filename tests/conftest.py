@@ -72,8 +72,20 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen_names = set()
+    seen_files = set()
     for item in items:
         base = item.nodeid.split("[")[0]
         name = base.rsplit("/", 1)[-1]
+        seen_names.add(name)
+        seen_files.add(name.split("::")[0])
         if name in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+    # a renamed slow test must not silently fall back into the quick gate:
+    # every SLOW_TESTS entry whose FILE was collected must match a test
+    # (scoped per file so single-file runs don't false-positive)
+    stale = [
+        s for s in SLOW_TESTS
+        if s.split("::")[0] in seen_files and s not in seen_names
+    ]
+    assert not stale, f"SLOW_TESTS entries match no collected test: {stale}"

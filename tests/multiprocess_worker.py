@@ -39,7 +39,7 @@ def main() -> None:
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from hopvae_tpu.config import load_config
+    from __graft_entry__ import tiny_dryrun_config
     from hopvae_tpu.data import ArrayDataset
     from hopvae_tpu.models.hopvae import HopVAE
     from hopvae_tpu.parallel import mesh as mesh_lib
@@ -49,15 +49,8 @@ def main() -> None:
     assert len(jax.local_devices()) == 2
     assert len(jax.devices()) == 2 * nprocs
 
-    # tiny geometry (the dryrun's): 16x16 images -> rep 5, PixelCNN prior
-    config = load_config("ffhq_64_scaled")
-    config.image_size = 16
-    config.representation_dim = 5
-    config.num_hiddens = 32
-    config.num_embeddings = 256
-    config.prior_num_filters = 12
-    config.prior_num_res_blocks = 1
-    config.batch_size = 8
+    # tiny geometry shared with the multi-chip dryrun
+    config = tiny_dryrun_config(batch_size=8)
 
     mesh = mesh_lib.make_mesh(n_data=2 * nprocs, n_model=1)
     model = HopVAE(config)

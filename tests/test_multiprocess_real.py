@@ -47,19 +47,27 @@ def test_two_process_train_and_eval(tmp_path):
         for pid in range(2)
     ]
     results = {}
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        m = re.search(
-            r"RESULT pid=(\d) lo=(\d+) hi=(\d+) loss=([\d.eE+-]+) "
-            r"eval_mse=([\d.eE+-]+) wrote=(\d+)",
-            out,
-        )
-        assert m, f"worker {pid} printed no RESULT:\n{out}"
-        results[int(m.group(1))] = dict(
-            lo=int(m.group(2)), hi=int(m.group(3)), loss=float(m.group(4)),
-            mse=float(m.group(5)), wrote=int(m.group(6)),
-        )
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=900)
+            assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+            m = re.search(
+                r"RESULT pid=(\d) lo=(\d+) hi=(\d+) loss=([\d.eE+-]+) "
+                r"eval_mse=([\d.eE+-]+) wrote=(\d+)",
+                out,
+            )
+            assert m, f"worker {pid} printed no RESULT:\n{out}"
+            results[int(m.group(1))] = dict(
+                lo=int(m.group(2)), hi=int(m.group(3)), loss=float(m.group(4)),
+                mse=float(m.group(5)), wrote=int(m.group(6)),
+            )
+    finally:
+        # a failed/timed-out worker must not leave its peer blocked forever
+        # inside distributed init or a gloo collective waiting for it
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     r0, r1 = results[0], results[1]
     # SPMD agreement: identical loss + eval MSE on both processes
